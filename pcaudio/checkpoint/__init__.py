@@ -1,0 +1,20 @@
+from pcaudio.checkpoint.torch_import import (
+    load_torch_state_dict,
+    strip_module_prefix,
+    st_params,
+    baseline_ff_params,
+    cnn_classifier_params,
+    deepset_params,
+    set_transformer_params,
+    mab_params,
+    sab_params,
+    isab_params,
+    pma_params,
+)
+
+__all__ = [
+    "load_torch_state_dict", "strip_module_prefix",
+    "st_params", "baseline_ff_params", "cnn_classifier_params",
+    "deepset_params", "set_transformer_params",
+    "mab_params", "sab_params", "isab_params", "pma_params",
+]
