@@ -1,0 +1,103 @@
+"""STFT → log-magnitude featurization (librosa-convention, JAX/XLA).
+
+Reproduces the reference featurizer inlined at ``Code/settransformer.py:45-52``:
+
+    x = librosa.stft(wave, n_fft, win_length=n_fft, hop_length=n_fft//2,
+                     window='hann') / n_fft
+    a = log(1e-8 + |x|)
+
+conventions (librosa 0.8): periodic Hann window of ``win_length`` centered in
+an ``n_fft`` frame, ``center=True`` reflect padding by ``n_fft//2``, rfft of
+``n_fft`` points.  The eval sweep uses ``win_length < n_fft`` with
+``n_fft = 2^ceil(log2(win_length))`` (``Code/pceval.py:76``) — supported here.
+
+TPU-first differences from the reference: batched fixed-shape buffers with a
+per-clip ``length`` scalar and a frame-validity mask instead of ragged
+per-clip arrays; frames-major ``[T, F]`` layout (frames on sublanes, frequency
+bins on lanes); ``jnp.fft.rfft`` lowers to XLA's FFT.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pcaudio.dsp.framing import (
+    frame,
+    max_frames_centered,
+    num_frames_centered,
+    pad_center_reflect,
+)
+
+Array = jax.Array
+
+
+def hann_periodic(win_length: int, dtype=jnp.float32) -> Array:
+    """Periodic ('fftbins') Hann window — scipy ``get_window('hann', n)``."""
+    k = jnp.arange(win_length, dtype=dtype)
+    return 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * k / win_length)
+
+
+def stft_window(n_fft: int, win_length: Optional[int] = None, dtype=jnp.float32) -> Array:
+    """Hann window of ``win_length`` zero-padded (centered) to ``n_fft``."""
+    win_length = win_length or n_fft
+    w = hann_periodic(win_length, dtype)
+    lpad = (n_fft - win_length) // 2
+    return jnp.pad(w, (lpad, n_fft - win_length - lpad))
+
+
+def stft_logmag(
+    wave: Array,
+    length: Array,
+    n_fft: int,
+    hop_length: Optional[int] = None,
+    win_length: Optional[int] = None,
+    log_floor: float = 1.0e-8,
+) -> Tuple[Array, Array]:
+    """Single-clip log-magnitude STFT.
+
+    Args:
+      wave: ``[L]`` fixed-size buffer; first ``length`` samples valid.
+      length: scalar int, valid sample count.
+      n_fft: FFT size; ``hop_length`` defaults to ``n_fft//2``
+        (the reference's hop factor 0.5, ``Code/settransformer.py:36``).
+      win_length: analysis window length (≤ n_fft), defaults to ``n_fft``.
+
+    Returns:
+      ``(logmag [T_max, 1 + n_fft//2], frame_mask [T_max])`` where
+      ``T_max = 1 + L // hop`` and ``frame_mask[t]`` is True for the
+      ``1 + length//hop`` frames the reference would produce.
+    """
+    hop_length = hop_length or n_fft // 2
+    pad = n_fft // 2
+    padded = pad_center_reflect(wave, length, pad)
+    t_max = max_frames_centered(wave.shape[0], hop_length)
+    frames = frame(padded, n_fft, hop_length, t_max)  # [T_max, n_fft]
+    frames = frames * stft_window(n_fft, win_length, frames.dtype)[None, :]
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)  # [T_max, F]
+    mag = jnp.abs(spec) / n_fft
+    logmag = jnp.log(log_floor + mag)
+    mask = jnp.arange(t_max) < num_frames_centered(length, hop_length)
+    return logmag, mask
+
+
+def batched_stft_logmag(
+    waves: Array,
+    lengths: Array,
+    n_fft: int,
+    hop_length: Optional[int] = None,
+    win_length: Optional[int] = None,
+    log_floor: float = 1.0e-8,
+) -> Tuple[Array, Array]:
+    """vmapped :func:`stft_logmag` over a ``[B, L]`` batch → ``([B, T_max, F],
+    [B, T_max])``."""
+    fn = partial(
+        stft_logmag,
+        n_fft=n_fft,
+        hop_length=hop_length,
+        win_length=win_length,
+        log_floor=log_floor,
+    )
+    return jax.vmap(fn)(waves, lengths)
