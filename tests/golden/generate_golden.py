@@ -121,6 +121,58 @@ def main():
         y = m(X)
     dump("deepset", m, {"X": X}, y)
 
+    ops_golden(rng)
+
+
+def ops_golden(rng):
+    """Deterministic point-cloud op outputs from the reference dataset /
+    utils code (Code/dataset.py, Code/utils.py)."""
+    # Code/utils.py imports prettytable (not in this image) for its param
+    # counter; stub it — we only use the numpy subsampling functions.
+    import types
+    pt = types.ModuleType("prettytable")
+    pt.PrettyTable = object
+    sys.modules.setdefault("prettytable", pt)
+    ref_dataset = _load("ref_dataset", os.path.join(REF, "Code", "dataset.py"))
+    ref_utils = _load("ref_utils", os.path.join(REF, "Code", "utils.py"))
+
+    out = {}
+    # framewise: ESC_pc cloud build + pc_maxK + pc_maxK_replace
+    F, T = 1025, 7
+    x = rng.standard_normal((F, T)).astype(np.float32)  # [freq, frames]
+    farr = (np.linspace(0, 22050, F) / 44100).astype(np.float32)
+    y = np.arange(T) % 3
+    ds = ref_dataset.ESC_pc(x=x, y=y, farr=farr)
+    out["pc_frames"] = np.stack([ds[i][0].numpy() for i in range(T)])
+    sub_x, sub_f = ref_utils.pc_maxK(x, farr, 100)
+    ds_ss = ref_dataset.ESC_pc_ss(x=sub_x, y=y, farr=sub_f)
+    out["pc_maxk_clouds"] = np.stack([ds_ss[i][0].numpy() for i in range(T)])
+    out["pc_maxk_replace"] = ref_utils.pc_maxK_replace(x, 100).astype(np.float32)
+    out["x_frames"] = x
+    out["farr"] = farr
+
+    # temporal: ESC_pc_temp cloud build, maxKSS, importance choice=1
+    Fp, Nt, B = 512, 10, 3
+    grid = rng.standard_normal((Fp, Nt, B)).astype(np.float32)
+    farr_t = (np.linspace(0, 22050, Fp) / 44100).astype(np.float32)
+    tarr = np.linspace(0, (0.5 * 1024 / 44100) * Nt, Nt).astype(np.float32)
+    yb = np.arange(B)
+    ds = ref_dataset.ESC_pc_temp(x=grid, y=yb, farr=farr_t, tarr=tarr)
+    out["temp_clouds"] = np.stack([ds[i][0].numpy() for i in range(B)])
+    ds = ref_dataset.ESC_pc_temp_maxKSS(x=grid, y=yb, farr=farr_t, tarr=tarr, K=77)
+    out["temp_maxk_clouds"] = np.stack([ds[i][0].numpy() for i in range(B)])
+    ds = ref_dataset.ESC_pc_temp_importancerandKSS(
+        x=grid, y=yb, farr=farr_t, tarr=tarr, K=100, choice=1, winF=64)
+    out["temp_imp_top_clouds"] = np.stack([ds[i][0].numpy() for i in range(B)])
+    ds = ref_dataset.ESC_baseline_temporal_maxK(x=grid, y=yb, K=200, flag="max")
+    out["temp_grid_maxk"] = np.stack([ds[i][1].numpy() for i in range(B)])
+    out["grid"] = grid
+    out["farr_t"] = farr_t
+    out["tarr"] = tarr
+
+    np.savez(os.path.join(OUT, "ops.npz"), **out)
+    print("wrote ops.npz:", {k: v.shape for k, v in out.items()})
+
 
 if __name__ == "__main__":
     main()
