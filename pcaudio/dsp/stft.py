@@ -48,6 +48,21 @@ def stft_window(n_fft: int, win_length: Optional[int] = None, dtype=jnp.float32)
     return jnp.pad(w, (lpad, n_fft - win_length - lpad))
 
 
+def dft_matrix(n_fft: int, dtype=jnp.float32) -> Array:
+    """Real-DFT basis as one ``[n_fft, 2·(n_fft//2+1)]`` matrix
+    ``[cos | -sin]`` so the STFT becomes a single MXU matmul
+    (``spec = frames @ W`` → interleaved re/im).  On TPU this beats
+    ``jnp.fft.rfft`` by a wide margin for audio-sized FFTs."""
+    f = n_fft // 2 + 1
+    # reduce k·b mod n_fft in exact int32 before the f32 trig — the raw
+    # product reaches ~2e6 where f32 angle resolution is already ~0.1 rad.
+    k = jnp.arange(n_fft, dtype=jnp.int32)[:, None]
+    b = jnp.arange(f, dtype=jnp.int32)[None, :]
+    m = (k * b) % n_fft
+    ang = (2.0 * jnp.pi / n_fft) * m.astype(dtype)
+    return jnp.concatenate([jnp.cos(ang), -jnp.sin(ang)], axis=-1)
+
+
 def stft_logmag(
     wave: Array,
     length: Array,
@@ -55,6 +70,8 @@ def stft_logmag(
     hop_length: Optional[int] = None,
     win_length: Optional[int] = None,
     log_floor: float = 1.0e-8,
+    method: str = "dft_matmul",
+    precision=jax.lax.Precision.HIGHEST,
 ) -> Tuple[Array, Array]:
     """Single-clip log-magnitude STFT.
 
@@ -76,8 +93,14 @@ def stft_logmag(
     t_max = max_frames_centered(wave.shape[0], hop_length)
     frames = frame(padded, n_fft, hop_length, t_max)  # [T_max, n_fft]
     frames = frames * stft_window(n_fft, win_length, frames.dtype)[None, :]
-    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)  # [T_max, F]
-    mag = jnp.abs(spec) / n_fft
+    if method == "dft_matmul":
+        f = n_fft // 2 + 1
+        reim = jnp.dot(frames, dft_matrix(n_fft, frames.dtype),
+                       precision=precision)  # [T_max, 2F]
+        mag = jnp.sqrt(reim[:, :f] ** 2 + reim[:, f:] ** 2) / n_fft
+    else:
+        spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)  # [T_max, F]
+        mag = jnp.abs(spec) / n_fft
     logmag = jnp.log(log_floor + mag)
     mask = jnp.arange(t_max) < num_frames_centered(length, hop_length)
     return logmag, mask

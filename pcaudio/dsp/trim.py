@@ -22,7 +22,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from pcaudio.dsp.framing import max_frames_centered, num_frames_centered, reflect_index
+from pcaudio.dsp.framing import max_frames_centered, num_frames_centered
 
 Array = jax.Array
 
@@ -38,15 +38,29 @@ def frame_power(
     """
     L = wave.shape[0]
     pad = frame_length // 2
-    # energy of the reflect-padded signal via cumsum difference
-    j = jnp.arange(L + 2 * pad) - pad
-    padded = wave[reflect_index(j, length)]
-    padded = padded * (j < length + pad)  # zero anything beyond the pad region
-    cs = jnp.concatenate([jnp.zeros(1, wave.dtype), jnp.cumsum(padded * padded)])
+    x = wave * (jnp.arange(L) < length)
+    # One cumsum of x^2; every frame energy (including the reflect-padded
+    # edge frames) is a difference of cumsum entries — no padded-signal
+    # materialization, no full-length gather (SURVEY perf note: generic
+    # gathers are the TPU killer here).
+    cs = jnp.concatenate([jnp.zeros(1, wave.dtype), jnp.cumsum(x * x)])
+
+    def E(lo, hi):
+        """sum x[lo:hi]^2 with index clamping (empty when hi <= lo)."""
+        lo = jnp.clip(lo, 0, L)
+        hi = jnp.clip(hi, 0, L)
+        return cs[hi] - cs[jnp.minimum(lo, hi)]
+
     t_max = max_frames_centered(L, hop_length)
-    starts = jnp.arange(t_max) * hop_length
-    e = cs[jnp.minimum(starts + frame_length, L + 2 * pad)] - cs[jnp.minimum(starts, L + 2 * pad)]
-    mse = e / frame_length
+    a = jnp.arange(t_max) * hop_length - pad          # frame start, unpadded coords
+    b = a + frame_length
+    main = E(jnp.maximum(a, 0), jnp.minimum(b, length))
+    # left reflect: positions [a, 0) map to samples [1, -a]
+    left = jnp.where(a < 0, E(1, -a + 1), 0.0)
+    # right reflect: positions [length, b) map to samples [2len-1-b, 2len-2-d]
+    d = jnp.maximum(a, length)
+    right = jnp.where(b > length, E(2 * length - 1 - b, 2 * length - 1 - d), 0.0)
+    mse = (main + left + right) / frame_length
     mask = jnp.arange(t_max) < num_frames_centered(length, hop_length)
     return mse, mask
 
@@ -84,8 +98,8 @@ def trim_to_buffer(wave: Array, start: Array, trimmed_length: Array) -> Array:
     """Materialize the trimmed window at the front of a same-size buffer
     (zeros beyond ``trimmed_length``), for ops that want offset-free input."""
     L = wave.shape[0]
-    idx = jnp.clip(jnp.arange(L) + start, 0, L - 1)
-    out = wave[idx]
+    padded = jnp.concatenate([wave, jnp.zeros_like(wave)])
+    out = jax.lax.dynamic_slice(padded, (start,), (L,))
     return out * (jnp.arange(L) < trimmed_length)
 
 

@@ -1,0 +1,121 @@
+"""Fused end-to-end inference pipelines: waveform → point cloud → class.
+
+This is the serving path the reference never had (its eval scripts re-featurize
+on the host with librosa and classify frame tensors one DataLoader batch at a
+time).  Here the whole thing is one jitted program: trim → STFT → log-mag →
+temporal chunking → masked top-K extraction → Set Transformer → clip logits.
+
+Reference semantics preserved: 3ST temporal pipeline (Nfft=1024, Nyquist row
+dropped, 10-frame chunks, remainder discarded — ``Code/settransformertemp.py:
+35-59``), ``ESC_pc_temp_maxKSS``-style top-K clouds (``Code/dataset.py:169-202``),
+chunk-level logits; clip-level classification averages logits over valid
+chunks (the reference reports chunk-level accuracy; see ``clip_logits``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pcaudio.dsp.featurize import FeaturizeConfig, featurize_batch, batched_temporal_chunks
+from pcaudio.ops.cloud import freq_coords, grid_cloud, time_coords
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class TemporalPipelineConfig:
+    """3ST-style pipeline config (``Code/settransformertemp.py:35-42``)."""
+
+    fs: int = 44100
+    target_fs: Optional[int] = None
+    n_fft: int = 1024
+    hop_factor: float = 0.5
+    win_length: Optional[int] = None
+    num_frames: int = 10          # Ntemp chunk length
+    top_k: Optional[int] = None   # None → full 5120-point clouds
+    trim: bool = True
+    top_db: float = 60.0
+
+    def featurize_config(self) -> FeaturizeConfig:
+        return FeaturizeConfig(
+            fs=self.fs,
+            target_fs=self.target_fs,
+            n_fft=self.n_fft,
+            hop_factor=self.hop_factor,
+            win_length=self.win_length,
+            top_db=self.top_db,
+            trim=self.trim,
+        )
+
+
+def extract_chunk_clouds(
+    waves: Array, lengths: Array, cfg: TemporalPipelineConfig
+) -> Tuple[Array, Array, Array]:
+    """waveforms → per-chunk temporal point clouds.
+
+    Returns ``(clouds [B, C, K, 3], point_mask [B, C, K], chunk_mask [B, C])``
+    where ``K = cfg.top_k or Nt·(n_fft//2)``.
+    """
+    fcfg = cfg.featurize_config()
+    logmag, frame_mask = featurize_batch(waves, lengths, fcfg)
+    chunks, chunk_mask = batched_temporal_chunks(
+        logmag, frame_mask, cfg.num_frames
+    )  # [B, C, Nt, F-1]
+    B, C, Nt, F = chunks.shape
+    eff_fs = cfg.target_fs or cfg.fs
+    farr = freq_coords(F, eff_fs)
+    tarr = time_coords(Nt, cfg.n_fft, eff_fs, cfg.hop_factor)
+    if cfg.top_k is not None and cfg.top_k < Nt * F:
+        # Fused extraction: top-K directly on the chunk magnitudes, then
+        # compute coordinates only for the K winners — never materializes the
+        # full Nt·F-point clouds (valid chunks are full grids, so top-K never
+        # hits padding within a valid chunk; invalid chunks stay fully masked).
+        mags = chunks.reshape(B, C, Nt * F)
+        vals, idx = jax.lax.top_k(mags, cfg.top_k)  # frequency-fastest flat idx
+        clouds = jnp.stack([farr[idx % F], tarr[idx // F], vals], axis=-1)
+        pmask = jnp.broadcast_to(chunk_mask[..., None], clouds.shape[:-1])
+        return clouds, pmask, chunk_mask
+    clouds = grid_cloud(chunks, farr, tarr)  # [B, C, Nt*F, 3]
+    pmask = jnp.broadcast_to(chunk_mask[..., None], clouds.shape[:-1])
+    return clouds, pmask, chunk_mask
+
+
+def make_temporal_classifier(model, cfg: TemporalPipelineConfig):
+    """Build ``fn(params, waves [B,L], lengths [B]) -> clip_logits [B,nclass]``.
+
+    Chunk logits are computed with the set model on every (padded) chunk and
+    averaged over valid chunks — padded chunks carry fully-masked clouds and
+    are excluded from the mean.
+    """
+
+    def fn(params, waves: Array, lengths: Array) -> Array:
+        clouds, pmask, chunk_mask = extract_chunk_clouds(waves, lengths, cfg)
+        B, C, K, d = clouds.shape
+        logits = model.apply(
+            params, clouds.reshape(B * C, K, d), mask=pmask.reshape(B * C, K)
+        ).reshape(B, C, -1)
+        w = chunk_mask[..., None].astype(logits.dtype)
+        return jnp.sum(logits * w, axis=1) / jnp.maximum(
+            jnp.sum(w, axis=1), jnp.asarray(1.0, logits.dtype)
+        )
+
+    return fn
+
+
+def make_chunk_logits(model, cfg: TemporalPipelineConfig):
+    """Like :func:`make_temporal_classifier` but returns per-chunk logits and
+    the chunk mask — the reference's unit of evaluation
+    (``Code/pc_temp3d_eval.py``)."""
+
+    def fn(params, waves: Array, lengths: Array):
+        clouds, pmask, chunk_mask = extract_chunk_clouds(waves, lengths, cfg)
+        B, C, K, d = clouds.shape
+        logits = model.apply(
+            params, clouds.reshape(B * C, K, d), mask=pmask.reshape(B * C, K)
+        ).reshape(B, C, -1)
+        return logits, chunk_mask
+
+    return fn

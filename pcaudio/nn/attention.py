@@ -29,6 +29,7 @@ What *is* different from the reference (TPU-first design):
 """
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import jax
@@ -71,6 +72,7 @@ class MAB(nn.Module):
     num_heads: int
     ln: bool = False
     dtype: Optional[jnp.dtype] = None
+    fused_attn: bool = False  # forward-only Pallas kernel (serving/eval)
 
     @nn.compact
     def __call__(self, Q: Array, K: Array, key_mask: Optional[Array] = None) -> Array:
@@ -92,23 +94,30 @@ class MAB(nn.Module):
 
         B, N = q.shape[0], q.shape[1]
         M = k.shape[1]
-        # Feature-split heads: head i sees features [i*dh:(i+1)*dh], exactly
-        # the reference's split(dim_split, 2) layout (modules.py:23-26).
-        qh = q.reshape(B, N, h, dh)
-        kh = k.reshape(B, M, h, dh)
-        vh = v.reshape(B, M, h, dh)
+        scale = 1.0 / math.sqrt(dv)
 
-        scale = 1.0 / jnp.sqrt(jnp.asarray(dv, dtype=jnp.float32))
-        logits = jnp.einsum(
-            "bnhd,bmhd->bhnm", qh, kh, preferred_element_type=jnp.float32
-        ) * scale
-        mask_b = None if key_mask is None else key_mask[:, None, None, :]
-        attn = masked_softmax(logits, mask_b, axis=-1).astype(dtype)
-        out = jnp.einsum(
-            "bhnm,bmhd->bnhd", attn, vh, preferred_element_type=jnp.float32
-        ).astype(dtype)
+        if self.fused_attn:
+            from pcaudio.ops.kernels.mha import fused_mha
 
-        o = q + out.reshape(B, N, dv)  # residual adds projected Q (modules.py:29)
+            out = fused_mha(q, k, v, key_mask, num_heads=h, scale=scale)
+            out = out.astype(dtype)
+        else:
+            # Feature-split heads: head i sees features [i*dh:(i+1)*dh],
+            # exactly the reference's split(dim_split, 2) layout
+            # (modules.py:23-26).
+            qh = q.reshape(B, N, h, dh)
+            kh = k.reshape(B, M, h, dh)
+            vh = v.reshape(B, M, h, dh)
+            logits = jnp.einsum(
+                "bnhd,bmhd->bhnm", qh, kh, preferred_element_type=jnp.float32
+            ) * scale
+            mask_b = None if key_mask is None else key_mask[:, None, None, :]
+            attn = masked_softmax(logits, mask_b, axis=-1).astype(dtype)
+            out = jnp.einsum(
+                "bhnm,bmhd->bnhd", attn, vh, preferred_element_type=jnp.float32
+            ).astype(dtype).reshape(B, N, dv)
+
+        o = q + out  # residual adds projected Q (modules.py:29)
         if self.ln:
             o = nn.LayerNorm(name="ln0", dtype=dtype)(o)
         o = o + nn.relu(nn.Dense(dv, name="fc_o", dtype=dtype)(o))
@@ -124,12 +133,12 @@ class SAB(nn.Module):
     num_heads: int
     ln: bool = False
     dtype: Optional[jnp.dtype] = None
+    fused_attn: bool = False
 
     @nn.compact
     def __call__(self, X: Array, mask: Optional[Array] = None) -> Array:
-        return MAB(self.dim_out, self.num_heads, self.ln, self.dtype, name="mab")(
-            X, X, key_mask=mask
-        )
+        return MAB(self.dim_out, self.num_heads, self.ln, self.dtype,
+                   self.fused_attn, name="mab")(X, X, key_mask=mask)
 
 
 class ISAB(nn.Module):
@@ -147,6 +156,7 @@ class ISAB(nn.Module):
     num_inds: int
     ln: bool = False
     dtype: Optional[jnp.dtype] = None
+    fused_attn: bool = False
 
     @nn.compact
     def __call__(self, X: Array, mask: Optional[Array] = None) -> Array:
@@ -160,12 +170,10 @@ class ISAB(nn.Module):
         I_b = jnp.broadcast_to(I, (B, self.num_inds, self.dim_out)).astype(
             self.dtype or jnp.float32
         )
-        H = MAB(self.dim_out, self.num_heads, self.ln, self.dtype, name="mab0")(
-            I_b, X, key_mask=mask
-        )
-        return MAB(self.dim_out, self.num_heads, self.ln, self.dtype, name="mab1")(
-            X, H, key_mask=None
-        )
+        H = MAB(self.dim_out, self.num_heads, self.ln, self.dtype,
+                self.fused_attn, name="mab0")(I_b, X, key_mask=mask)
+        return MAB(self.dim_out, self.num_heads, self.ln, self.dtype,
+                   self.fused_attn, name="mab1")(X, H, key_mask=None)
 
 
 class PMA(nn.Module):
@@ -178,6 +186,7 @@ class PMA(nn.Module):
     num_seeds: int
     ln: bool = False
     dtype: Optional[jnp.dtype] = None
+    fused_attn: bool = False
 
     @nn.compact
     def __call__(self, X: Array, mask: Optional[Array] = None) -> Array:
@@ -191,6 +200,5 @@ class PMA(nn.Module):
         S_b = jnp.broadcast_to(S, (B, self.num_seeds, self.dim)).astype(
             self.dtype or jnp.float32
         )
-        return MAB(self.dim, self.num_heads, self.ln, self.dtype, name="mab")(
-            S_b, X, key_mask=mask
-        )
+        return MAB(self.dim, self.num_heads, self.ln, self.dtype,
+                   self.fused_attn, name="mab")(S_b, X, key_mask=mask)

@@ -44,15 +44,16 @@ class ST(nn.Module):
     num_heads: int = 2
     ln: bool = False
     dtype: Optional[jnp.dtype] = None
+    fused_attn: bool = False
 
     @nn.compact
     def __call__(self, X: Array, mask: Optional[Array] = None) -> Array:
         x = ISAB(self.dim_hidden, self.num_heads, self.num_inds, self.ln,
-                 self.dtype, name="enc_0")(X, mask=mask)
+                 self.dtype, self.fused_attn, name="enc_0")(X, mask=mask)
         x = ISAB(self.dim_hidden, self.num_heads, self.num_inds, self.ln,
-                 self.dtype, name="enc_1")(x, mask=mask)
+                 self.dtype, self.fused_attn, name="enc_1")(x, mask=mask)
         x = PMA(self.dim_hidden, self.num_heads, self.num_outputs, self.ln,
-                self.dtype, name="dec_pma")(x, mask=mask)
+                self.dtype, self.fused_attn, name="dec_pma")(x, mask=mask)
         x = nn.Dense(self.dim_output, name="dec_out", dtype=self.dtype)(x)
         if self.num_outputs == 1:
             x = x[:, 0, :]

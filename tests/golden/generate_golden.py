@@ -173,6 +173,26 @@ def ops_golden(rng):
     np.savez(os.path.join(OUT, "ops.npz"), **out)
     print("wrote ops.npz:", {k: v.shape for k, v in out.items()})
 
+    split_golden()
+
+
+def split_golden():
+    """Reference tt_split outputs for fixed global seeds (Code/
+    data_processing.py:40-65) — the split must be RNG-bit-compatible."""
+    ref_dp = _load("ref_data_processing", os.path.join(REF, "Code", "data_processing.py"))
+    paths = np.array([f"clip_{i:03d}.wav" for i in range(40)])
+    labels = np.array([i % 4 for i in range(40)])
+    out = {}
+    for seed in (1, 5, 42):
+        np.random.seed(seed)
+        tr, ltr, te, lte = ref_dp.tt_split(paths, labels, f=0.8)
+        out[f"s{seed}_train"] = np.array(tr)
+        out[f"s{seed}_ltrain"] = np.array(ltr)
+        out[f"s{seed}_test"] = np.array(te)
+        out[f"s{seed}_ltest"] = np.array(lte)
+    np.savez(os.path.join(OUT, "split.npz"), **out)
+    print("wrote split.npz")
+
 
 if __name__ == "__main__":
     main()
