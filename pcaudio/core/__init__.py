@@ -1,3 +1,11 @@
 from pcaudio.core.types import PointCloud
+from pcaudio.core.config import (
+    ExperimentConfig,
+    ARCH_FST,
+    ARCH_FB,
+    ARCH_3ST,
+    ARCH_CNN,
+)
 
-__all__ = ["PointCloud"]
+__all__ = ["PointCloud", "ExperimentConfig", "ARCH_FST", "ARCH_FB",
+           "ARCH_3ST", "ARCH_CNN"]

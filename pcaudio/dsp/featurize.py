@@ -35,9 +35,13 @@ class FeaturizeConfig:
     top_db: float = 60.0
     trim: bool = True
     log_floor: float = 1.0e-8
+    hop_length_override: Optional[int] = None  # eval sweeps hop on win_length
+    mag_norm: Optional[float] = None           # eval sweeps divide by win_length
 
     @property
     def hop_length(self) -> int:
+        if self.hop_length_override is not None:
+            return self.hop_length_override
         return int(self.n_fft * self.hop_factor)
 
     @property
@@ -64,6 +68,7 @@ def featurize_clip(
         hop_length=cfg.hop_length,
         win_length=cfg.win_length,
         log_floor=cfg.log_floor,
+        mag_norm=cfg.mag_norm,
     )
 
 

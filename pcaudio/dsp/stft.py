@@ -72,6 +72,7 @@ def stft_logmag(
     log_floor: float = 1.0e-8,
     method: str = "dft_matmul",
     precision=jax.lax.Precision.HIGHEST,
+    mag_norm: Optional[float] = None,
 ) -> Tuple[Array, Array]:
     """Single-clip log-magnitude STFT.
 
@@ -81,6 +82,9 @@ def stft_logmag(
       n_fft: FFT size; ``hop_length`` defaults to ``n_fft//2``
         (the reference's hop factor 0.5, ``Code/settransformer.py:36``).
       win_length: analysis window length (≤ n_fft), defaults to ``n_fft``.
+      mag_norm: |STFT| divisor; defaults to ``n_fft``.  The eval sweeps divide
+        by the *window* length instead (``Code/pceval.py:76`` ``/Nfft`` with
+        ``Nfft = N``; ``Code/baseline_eval.py:76`` ``/Nfftog``).
 
     Returns:
       ``(logmag [T_max, 1 + n_fft//2], frame_mask [T_max])`` where
@@ -93,14 +97,15 @@ def stft_logmag(
     t_max = max_frames_centered(wave.shape[0], hop_length)
     frames = frame(padded, n_fft, hop_length, t_max)  # [T_max, n_fft]
     frames = frames * stft_window(n_fft, win_length, frames.dtype)[None, :]
+    norm = float(mag_norm if mag_norm is not None else n_fft)
     if method == "dft_matmul":
         f = n_fft // 2 + 1
         reim = jnp.dot(frames, dft_matrix(n_fft, frames.dtype),
                        precision=precision)  # [T_max, 2F]
-        mag = jnp.sqrt(reim[:, :f] ** 2 + reim[:, f:] ** 2) / n_fft
+        mag = jnp.sqrt(reim[:, :f] ** 2 + reim[:, f:] ** 2) / norm
     else:
         spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)  # [T_max, F]
-        mag = jnp.abs(spec) / n_fft
+        mag = jnp.abs(spec) / norm
     logmag = jnp.log(log_floor + mag)
     mask = jnp.arange(t_max) < num_frames_centered(length, hop_length)
     return logmag, mask

@@ -174,10 +174,12 @@ def importance_indices(
     )
     if choice == 0:
         assert key is not None, "choice=0 (multinomial) requires a PRNG key"
-        return jax.random.categorical(
-            key, jnp.log(heat_ft_flat), axis=-1,
-            shape=heat_ft_flat.shape[:-1] + (k,),
+        batch = heat_ft_flat.shape[:-1]
+        # draws with replacement: k iid categorical samples per batch element
+        idx = jax.random.categorical(
+            key, jnp.log(heat_ft_flat), axis=-1, shape=(k,) + batch
         )
+        return jnp.moveaxis(idx, 0, -1)
     _, idx = jax.lax.top_k(heat_ft_flat, k)
     return idx
 
