@@ -1,0 +1,265 @@
+"""pcaudio command-line interface.
+
+The reference has no CLI for its main pipeline (scripts-as-configs,
+SURVEY.md §5; argparse only in the vendored demos).  This exposes the whole
+framework: training recipes, the experiment harness, figure generation, the
+throughput benchmark, and the auxiliary tasks.
+
+    python -m pcaudio.cli train FST --esc-csv ... --esc-audio ...
+    python -m pcaudio.cli eval FST --config ..._config.json --pth ..._net.pth \
+        --esc-csv ... --esc-audio ... --experiments expt1 expt2 --out-dir results/
+    python -m pcaudio.cli plots --results-dir results/ --out-dir figures/
+    python -m pcaudio.cli bench
+    python -m pcaudio.cli modelnet40 --data ModelNet40_cloud.h5
+    python -m pcaudio.cli clustering --model set_transformer --mode train
+    python -m pcaudio.cli max-regression
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+
+def _add_esc_args(p):
+    p.add_argument("--esc-csv", help="path to esc50.csv")
+    p.add_argument("--esc-audio", help="path to the ESC-50 audio directory")
+
+
+def cmd_train(args):
+    import jax.numpy as jnp
+    import jax
+
+    from pcaudio.checkpoint.orbax_io import save_checkpoint
+    from pcaudio.core.config import ARCH_3ST, ARCH_FB, ARCH_FST
+    from pcaudio.data.esc import load_esc_split_waves
+    from pcaudio.train import (
+        RECIPES, TrainState, build_trainer, fit, jit_train_step,
+        make_eval_step, make_train_step, prepare_framewise_data,
+        prepare_temporal_data,
+    )
+
+    cfg = RECIPES[args.recipe]()
+    if args.epochs is not None:
+        cfg = dataclasses.replace(cfg, epochs=args.epochs)
+    waves, lengths, labels = load_esc_split_waves(
+        args.esc_csv, args.esc_audio, cfg.numpy_seed, split="train")
+    t_waves, t_lengths, t_labels = load_esc_split_waves(
+        args.esc_csv, args.esc_audio, cfg.numpy_seed, split="test")
+    framewise = cfg.architecture in (ARCH_FST, ARCH_FB)
+    prep = prepare_framewise_data if framewise else prepare_temporal_data
+    as_clouds = cfg.architecture in (ARCH_FST, ARCH_3ST)
+    data = prep(waves, lengths, labels, cfg, as_clouds=as_clouds)
+    eval_data = prep(t_waves, t_lengths, t_labels, cfg, as_clouds=as_clouds)
+
+    model, apply_fn, optimizer = build_trainer(cfg)
+    sample_key = "points" if as_clouds else "x"
+    params = model.init(jax.random.key(cfg.torch_seed),
+                        jnp.asarray(data[sample_key][:1]))
+    state = TrainState.create(params, optimizer)
+    step = jit_train_step(make_train_step(apply_fn, optimizer))
+    ev = jax.jit(make_eval_step(apply_fn))
+    state, history = fit(
+        state, step, data, batch_size=cfg.batch_size, epochs=cfg.epochs,
+        seed=cfg.numpy_seed, eval_data=eval_data, eval_step=ev,
+        eval_every=10, checkpoint_dir=args.out_dir,
+        checkpoint_every=args.checkpoint_every, config=cfg,
+    )
+    save_checkpoint(args.out_dir, jax.device_get(state.params), cfg,
+                    step=cfg.epochs)
+    print(f"saved final checkpoint to {args.out_dir}")
+
+
+def cmd_eval(args):
+    from pcaudio.core.config import (
+        ARCH_3ST, ARCH_CNN, ARCH_FB, ARCH_FST, ExperimentConfig,
+    )
+    from pcaudio.data.esc import load_esc_split_waves
+    from pcaudio.eval import (
+        framewise_expt1, framewise_expt2, make_3st_chunk_classifier,
+        make_cloud_classifier, make_cnn_chunk_classifier,
+        make_fb_frame_classifier, make_fst_frame_classifier,
+        rebut_importance_expt, temporal_expt1, temporal_expt2,
+    )
+    from pcaudio.utils.metrics import dump_reference_json
+
+    cfg = ExperimentConfig.from_reference_json(args.config)
+    model = cfg.build_model()
+    if args.pth:
+        params = cfg.import_torch_checkpoint(args.pth)
+    else:
+        from pcaudio.checkpoint.orbax_io import load_checkpoint
+
+        tree, _, _ = load_checkpoint(args.orbax)
+        params = tree["params"]
+    waves, lengths, labels = load_esc_split_waves(
+        args.esc_csv, args.esc_audio, cfg.numpy_seed, split="test")
+
+    arch = cfg.architecture
+    tag = {ARCH_FST: "FST", ARCH_FB: "FB", ARCH_3ST: "3ST",
+           ARCH_CNN: "CNNTemp"}[arch]
+    os.makedirs(args.out_dir, exist_ok=True)
+    common = dict(fsog=cfg.sampling_rate, Nfft=cfg.window_size,
+                  hf=cfg.hop_factor, tDb=cfg.trim_dB)
+    if "expt1" in args.experiments:
+        if arch == ARCH_FST:
+            out = framewise_expt1(make_fst_frame_classifier(model, params),
+                                  waves, lengths, labels, **common)
+        elif arch == ARCH_FB:
+            out = framewise_expt1(make_fb_frame_classifier(model, params),
+                                  waves, lengths, labels, fixed_nfft=True,
+                                  **common)
+        elif arch == ARCH_3ST:
+            out = temporal_expt1(make_3st_chunk_classifier(model, params),
+                                 waves, lengths, labels, Ntemp=cfg.Ntemp,
+                                 **common)
+        else:
+            out = temporal_expt1(make_cnn_chunk_classifier(model, params),
+                                 waves, lengths, labels, Ntemp=cfg.Ntemp,
+                                 fixed_nfft=True, **common)
+        dump_reference_json(out, os.path.join(args.out_dir, f"{tag}_expt1.json"))
+        print(f"wrote {tag}_expt1.json")
+    if "expt2" in args.experiments:
+        if arch in (ARCH_FST, ARCH_FB):
+            rnd, mx = framewise_expt2(
+                make_fb_frame_classifier(model, params) if arch == ARCH_FB else None,
+                make_cloud_classifier(model, params) if arch == ARCH_FST else None,
+                waves, lengths, labels,
+                mode="cloud" if arch == ARCH_FST else "replace", **common)
+        else:
+            rnd, mx = temporal_expt2(
+                make_cloud_classifier(model, params) if arch == ARCH_3ST else None,
+                make_cnn_chunk_classifier(model, params) if arch == ARCH_CNN else None,
+                waves, lengths, labels, Ntemp=cfg.Ntemp,
+                mode="cloud" if arch == ARCH_3ST else "replace", **common)
+        dump_reference_json(rnd, os.path.join(args.out_dir, f"{tag}_randK_expt2.json"))
+        dump_reference_json(mx, os.path.join(args.out_dir, f"{tag}_maxK_expt2.json"))
+        print(f"wrote {tag}_{{randK,maxK}}_expt2.json")
+    if "rebut" in args.experiments and arch == ARCH_3ST:
+        rnd, mx = rebut_importance_expt(
+            make_cloud_classifier(model, params), waves, lengths, labels,
+            Ntemp=cfg.Ntemp, **common)
+        dump_reference_json(rnd, os.path.join(args.out_dir, "3ST_rebut_expt_randK.json"))
+        dump_reference_json(mx, os.path.join(args.out_dir, "3ST_rebut_expt_maxK.json"))
+        print("wrote 3ST_rebut_expt_{randK,maxK}.json")
+
+
+def cmd_plots(args):
+    from pcaudio.eval.plots import generate_all
+
+    outs = generate_all(args.results_dir, args.out_dir)
+    for o in outs:
+        print(o)
+
+
+def cmd_bench(args):
+    os.environ.setdefault("PCAUDIO_BENCH_BATCH", str(args.batch))
+    os.environ.setdefault("PCAUDIO_BENCH_TOPK", str(args.top_k))
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    bench.main()
+
+
+def cmd_modelnet40(args):
+    from pcaudio.tasks.modelnet40 import ModelNet40Config, train
+    from pcaudio.utils.metrics import MetricsWriter
+
+    cfg = ModelNet40Config(num_pts=args.num_pts,
+                           learning_rate=args.learning_rate,
+                           batch_size=args.batch_size, dim=args.dim,
+                           n_heads=args.n_heads, n_anc=args.n_anc,
+                           train_epochs=args.train_epochs)
+    metrics = (MetricsWriter(os.path.join(args.log_dir, cfg.exp_name + ".jsonl"))
+               if args.log_dir else None)
+    train(cfg, args.data, metrics=metrics)
+
+
+def cmd_clustering(args):
+    from pcaudio.tasks.clustering import ClusteringConfig, benchmark, train
+
+    cfg = ClusteringConfig(model=args.model, K=args.K,
+                           num_steps=args.num_steps, B=args.B)
+    model, state = train(cfg)
+    if args.mode in ("bench", "train"):
+        mll, oll = benchmark(model, state.params, cfg)
+        print(json.dumps({"model_ll": mll, "oracle_ll": oll}))
+
+
+def cmd_max_regression(args):
+    from pcaudio.tasks.max_regression import (
+        SmallDeepSet, SmallSetTransformer, train,
+    )
+
+    _, st_mae = train(SmallSetTransformer(), steps=args.steps, log=print)
+    _, max_mae = train(SmallDeepSet(pool="max"), steps=args.steps, log=print)
+    _, mean_mae = train(SmallDeepSet(pool="mean"), steps=args.steps, log=print)
+    print(json.dumps({"set_transformer": st_mae, "deepset_max": max_mae,
+                      "deepset_mean": mean_mae}))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="pcaudio")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="train a reference recipe on ESC-10")
+    t.add_argument("recipe", choices=["FST", "FB", "3ST", "CNNTemp"])
+    _add_esc_args(t)
+    t.add_argument("--out-dir", default="model_saves")
+    t.add_argument("--epochs", type=int)
+    t.add_argument("--checkpoint-every", type=int, default=50)
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("eval", help="run the experiment harness")
+    e.add_argument("--config", required=True, help="reference *_config.json")
+    e.add_argument("--pth", help="reference *_net.pth to import")
+    e.add_argument("--orbax", help="orbax checkpoint dir (alternative)")
+    _add_esc_args(e)
+    e.add_argument("--experiments", nargs="+", default=["expt1", "expt2"],
+                   choices=["expt1", "expt2", "rebut"])
+    e.add_argument("--out-dir", default="paper_plots")
+    e.set_defaults(fn=cmd_eval)
+
+    pl = sub.add_parser("plots", help="regenerate the paper figures")
+    pl.add_argument("--results-dir", required=True)
+    pl.add_argument("--out-dir", required=True)
+    pl.set_defaults(fn=cmd_plots)
+
+    b = sub.add_parser("bench", help="end-to-end throughput benchmark")
+    b.add_argument("--batch", type=int, default=512)
+    b.add_argument("--top-k", type=int, default=256)
+    b.set_defaults(fn=cmd_bench)
+
+    m = sub.add_parser("modelnet40", help="ModelNet40 classification")
+    m.add_argument("--data", required=True)
+    m.add_argument("--num_pts", type=int, default=1000)
+    m.add_argument("--learning_rate", type=float, default=1e-3)
+    m.add_argument("--batch_size", type=int, default=64)
+    m.add_argument("--dim", type=int, default=256)
+    m.add_argument("--n_heads", type=int, default=4)
+    m.add_argument("--n_anc", type=int, default=16)
+    m.add_argument("--train_epochs", type=int, default=2000)
+    m.add_argument("--log-dir", default="result")
+    m.set_defaults(fn=cmd_modelnet40)
+
+    c = sub.add_parser("clustering", help="amortized MoG clustering demo")
+    c.add_argument("--model", default="set_transformer",
+                   choices=["set_transformer", "deepset"])
+    c.add_argument("--mode", default="train", choices=["train", "bench"])
+    c.add_argument("--K", type=int, default=4)
+    c.add_argument("--B", type=int, default=10)
+    c.add_argument("--num_steps", type=int, default=50000)
+    c.set_defaults(fn=cmd_clustering)
+
+    x = sub.add_parser("max-regression", help="max-of-set regression demo")
+    x.add_argument("--steps", type=int, default=500)
+    x.set_defaults(fn=cmd_max_regression)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -79,3 +79,31 @@ def tt_split(
             audio_test.append(files[idx])
             l_test.append(k)
     return audio_train, l_train, audio_test, l_test
+
+
+ESC50_BUFFER_LEN = 220672  # 5 s at 44.1 kHz, rounded up to a multiple of 1024
+
+
+def load_esc_split_waves(
+    csv_path: str,
+    audio_dir: str,
+    numpy_seed: int,
+    buffer_len: int = ESC50_BUFFER_LEN,
+    split: str = "test",
+    f: float = 0.8,
+):
+    """Reproduce the reference's seeded split (``Code/pceval.py:30-33``: the
+    eval scripts re-seed numpy's global RNG from the saved config so
+    ``tt_split`` regenerates the identical held-out set) and decode that
+    split's WAVs into a padded batch.
+
+    Returns ``(waves [B, buffer_len] f32, lengths [B] i32, labels [B] i32)``.
+    """
+    from pcaudio.data.audio_io import load_wav_batch
+
+    paths, labels = load_esc(csv_path, audio_dir)
+    np.random.seed(numpy_seed)
+    tr, ltr, te, lte = tt_split(paths, labels, f=f)
+    use_paths, use_labels = (tr, ltr) if split == "train" else (te, lte)
+    waves, lengths = load_wav_batch(use_paths, buffer_len)
+    return waves, lengths, np.asarray(use_labels, np.int32)
