@@ -63,7 +63,18 @@ def pad_batch(
 
 
 def load_wav_batch(
-    paths: Sequence[str], buffer_len: int
+    paths: Sequence[str], buffer_len: int, use_native: str = "auto"
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Decode many WAVs into one padded batch."""
+    """Decode many WAVs into one padded batch.
+
+    ``use_native`` = "auto" (native C++ threaded decoder when buildable,
+    Python fallback otherwise), "never", or "always".
+    """
+    if use_native != "never":
+        from pcaudio import native
+
+        if native.available():
+            return native.decode_wav_batch(paths, buffer_len)
+        if use_native == "always":
+            raise RuntimeError("native decoder requested but unavailable")
     return pad_batch([load_wav(p)[0] for p in paths], buffer_len)

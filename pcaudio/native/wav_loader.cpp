@@ -1,0 +1,138 @@
+// Native audio ingest: threaded PCM WAV decoding into padded float32 batches.
+//
+// The reference's featurization loop decodes clips one at a time in Python
+// (librosa.load per clip, Code/settransformer.py:47 — SURVEY.md §3.1 CPU hot
+// loop #1).  This is the TPU-framework equivalent of its native dependency
+// stack (audioread/resampy): a small C++ decoder with a C ABI, driven from
+// Python via ctypes (pcaudio/native/__init__.py), filling the [B, L] f32
+// buffer + lengths vector the jitted device pipeline consumes.
+//
+// Supported: RIFF/WAVE with PCM 8/16/24/32-bit and IEEE float32, any channel
+// count (averaged to mono, librosa convention).  Chunk-walking parser —
+// handles LIST/fact/etc. chunks in any order.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Reader {
+  FILE* f;
+  explicit Reader(const char* path) : f(std::fopen(path, "rb")) {}
+  ~Reader() { if (f) std::fclose(f); }
+  bool read(void* dst, size_t n) { return f && std::fread(dst, 1, n, f) == n; }
+  bool skip(long n) { return f && std::fseek(f, n, SEEK_CUR) == 0; }
+};
+
+// Decode one WAV file into out[0..max_len); returns the number of mono
+// samples decoded (clamped to max_len), or a negative error code.
+int decode_one(const char* path, float* out, int64_t max_len) {
+  Reader r(path);
+  if (!r.f) return -1;
+
+  char magic[4];
+  uint32_t riff_size;
+  if (!r.read(magic, 4) || std::memcmp(magic, "RIFF", 4) != 0) return -2;
+  if (!r.read(&riff_size, 4)) return -2;
+  if (!r.read(magic, 4) || std::memcmp(magic, "WAVE", 4) != 0) return -2;
+
+  uint16_t fmt = 0, channels = 0, bits = 0;
+  bool have_fmt = false;
+  while (true) {
+    char id[4];
+    uint32_t size;
+    if (!r.read(id, 4) || !r.read(&size, 4)) return -3;
+    if (std::memcmp(id, "fmt ", 4) == 0) {
+      uint8_t buf[16];
+      if (size < 16 || !r.read(buf, 16)) return -3;
+      fmt = (uint16_t)(buf[0] | buf[1] << 8);
+      channels = (uint16_t)(buf[2] | buf[3] << 8);
+      bits = (uint16_t)(buf[14] | buf[15] << 8);
+      if (size > 16 && !r.skip((long)size - 16)) return -3;
+      have_fmt = true;
+      if (fmt == 0xFFFE) fmt = 1;  // WAVE_FORMAT_EXTENSIBLE: treat as PCM
+    } else if (std::memcmp(id, "data", 4) == 0) {
+      if (!have_fmt || channels == 0) return -4;
+      const int bytes_per = bits / 8;
+      if (bytes_per == 0) return -4;
+      const int64_t frames = size / (bytes_per * channels);
+      const int64_t n = frames < max_len ? frames : max_len;
+      std::vector<uint8_t> buf((size_t)(n * channels * bytes_per));
+      if (!r.read(buf.data(), buf.size())) return -5;
+      const float inv_ch = 1.0f / channels;
+      for (int64_t i = 0; i < n; ++i) {
+        float acc = 0.0f;
+        for (int c = 0; c < channels; ++c) {
+          const uint8_t* p = &buf[(size_t)((i * channels + c) * bytes_per)];
+          float v = 0.0f;
+          if (fmt == 3 && bits == 32) {  // IEEE float
+            float fv;
+            std::memcpy(&fv, p, 4);
+            v = fv;
+          } else if (bits == 16) {
+            int16_t s = (int16_t)(p[0] | p[1] << 8);
+            v = (float)s / 32768.0f;
+          } else if (bits == 32) {
+            int32_t s = (int32_t)(p[0] | p[1] << 8 | p[2] << 16 |
+                                  (uint32_t)p[3] << 24);
+            v = (float)s / 2147483648.0f;
+          } else if (bits == 24) {
+            int32_t s = (int32_t)(p[0] | p[1] << 8 | p[2] << 16);
+            s -= (s & 0x800000) << 1;  // sign-extend
+            v = (float)s / 8388608.0f;
+          } else if (bits == 8) {  // unsigned
+            v = ((float)p[0] - 128.0f) / 128.0f;
+          } else {
+            return -6;
+          }
+          acc += v;
+        }
+        out[i] = acc * inv_ch;
+      }
+      return (int)n;
+    } else {
+      if (!r.skip((long)size + (size & 1))) return -3;  // chunks are 2-aligned
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+int pcaudio_decode_wav(const char* path, float* out, int64_t max_len) {
+  return decode_one(path, out, max_len);
+}
+
+// Threaded batch decode: paths[i] -> out[i * buffer_len .. +lengths[i]);
+// the caller provides a zeroed buffer.  Returns 0 on success, else the first
+// nonzero error code encountered.
+int pcaudio_decode_wav_batch(const char** paths, int n, float* out,
+                             int32_t* lengths, int64_t buffer_len,
+                             int num_threads) {
+  if (num_threads < 1) num_threads = 1;
+  std::vector<int> errs(n, 0);
+  auto work = [&](int tid) {
+    for (int i = tid; i < n; i += num_threads) {
+      int got = decode_one(paths[i], out + (int64_t)i * buffer_len, buffer_len);
+      if (got < 0) {
+        errs[i] = got;
+        lengths[i] = 0;
+      } else {
+        lengths[i] = got;
+      }
+    }
+  };
+  std::vector<std::thread> ts;
+  for (int t = 1; t < num_threads; ++t) ts.emplace_back(work, t);
+  work(0);
+  for (auto& t : ts) t.join();
+  for (int e : errs)
+    if (e != 0) return e;
+  return 0;
+}
+
+}  // extern "C"
