@@ -10,7 +10,8 @@ vs_baseline is clips/sec/chip over the 10k-clips/sec/chip north-star target
 (BASELINE.json; the reference publishes no throughput numbers).
 
 Env knobs: PCAUDIO_BENCH_BATCH (default 512), PCAUDIO_BENCH_TOPK (default
-256), PCAUDIO_BENCH_ITERS (default 10).
+256), PCAUDIO_BENCH_ITERS (default 10), PCAUDIO_BENCH_FUSED (default 1 —
+use the fully-fused Pallas ST kernel).
 """
 import json
 import os
@@ -29,6 +30,7 @@ def main():
     B = int(os.environ.get("PCAUDIO_BENCH_BATCH", "512"))
     top_k = int(os.environ.get("PCAUDIO_BENCH_TOPK", "256"))
     iters = int(os.environ.get("PCAUDIO_BENCH_ITERS", "10"))
+    fused = os.environ.get("PCAUDIO_BENCH_FUSED", "1") == "1"
 
     fs = 44100
     L = 220672  # 5 s ESC-50 clips, padded to a multiple of 1024
@@ -41,7 +43,7 @@ def main():
     lengths = np.full((B,), 220500, np.int32)
     params = model.init(jax.random.key(0), jnp.zeros((1, 16, 3)))
 
-    fn = jax.jit(make_temporal_classifier(model, cfg))
+    fn = jax.jit(make_temporal_classifier(model, cfg, use_fused_st=fused))
     dwaves = jax.device_put(jnp.asarray(waves))
     dlengths = jax.device_put(jnp.asarray(lengths))
 

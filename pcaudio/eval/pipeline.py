@@ -83,20 +83,31 @@ def extract_chunk_clouds(
     return clouds, pmask, chunk_mask
 
 
-def make_temporal_classifier(model, cfg: TemporalPipelineConfig):
+def make_temporal_classifier(model, cfg: TemporalPipelineConfig,
+                             use_fused_st: bool = False):
     """Build ``fn(params, waves [B,L], lengths [B]) -> clip_logits [B,nclass]``.
 
     Chunk logits are computed with the set model on every (padded) chunk and
     averaged over valid chunks — padded chunks carry fully-masked clouds and
-    are excluded from the mean.
+    are excluded from the mean.  ``use_fused_st=True`` routes the ST forward
+    through the fully-fused Pallas kernel (serving path; ~2x on v5e).
     """
 
     def fn(params, waves: Array, lengths: Array) -> Array:
         clouds, pmask, chunk_mask = extract_chunk_clouds(waves, lengths, cfg)
         B, C, K, d = clouds.shape
-        logits = model.apply(
-            params, clouds.reshape(B * C, K, d), mask=pmask.reshape(B * C, K)
-        ).reshape(B, C, -1)
+        if use_fused_st:
+            from pcaudio.ops.kernels.fused_st import fused_st_forward
+
+            logits = fused_st_forward(
+                params, clouds.reshape(B * C, K, d),
+                pmask.reshape(B * C, K), num_heads=model.num_heads,
+            ).reshape(B, C, -1)
+        else:
+            logits = model.apply(
+                params, clouds.reshape(B * C, K, d),
+                mask=pmask.reshape(B * C, K)
+            ).reshape(B, C, -1)
         w = chunk_mask[..., None].astype(logits.dtype)
         return jnp.sum(logits * w, axis=1) / jnp.maximum(
             jnp.sum(w, axis=1), jnp.asarray(1.0, logits.dtype)

@@ -1,0 +1,41 @@
+"""Fused whole-ST Pallas kernel == XLA model.apply (CPU interpret mode)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pcaudio.nn import ST
+from pcaudio.ops.kernels.fused_st import fused_st_forward
+
+
+@pytest.mark.parametrize("din,K,maskpat", [(3, 32, "full"), (2, 48, "ragged")])
+def test_fused_st_matches_model(din, K, maskpat):
+    rng = np.random.default_rng(0)
+    B = 5
+    model = ST(dim_input=din, dim_output=10, num_inds=8, dim_hidden=16,
+               num_heads=4)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 8, din)))
+    pts = jnp.asarray(rng.standard_normal((B, K, din)).astype(np.float32))
+    if maskpat == "full":
+        mask = None
+    else:
+        counts = np.array([K, K - 5, 10, 3, 1])
+        mask = jnp.asarray(np.arange(K)[None, :] < counts[:, None])
+    ref = model.apply(params, pts, mask=mask)
+    got = fused_st_forward(params, pts, mask, num_heads=4, block_b=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-2, rtol=3e-2)  # bf16 matmuls in kernel
+
+
+def test_fused_st_fst_config_shapes():
+    """The shipped FST/3ST configuration (dh=64, heads=8, inds=64)."""
+    rng = np.random.default_rng(1)
+    model = ST(dim_input=3, dim_output=10, num_inds=64, dim_hidden=64,
+               num_heads=8)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 8, 3)))
+    pts = jnp.asarray(rng.standard_normal((3, 64, 3)).astype(np.float32))
+    ref = model.apply(params, pts)
+    got = fused_st_forward(params, pts, None, num_heads=8, block_b=3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-2, rtol=5e-2)
