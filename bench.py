@@ -31,10 +31,12 @@ def main():
     top_k = int(os.environ.get("PCAUDIO_BENCH_TOPK", "256"))
     iters = int(os.environ.get("PCAUDIO_BENCH_ITERS", "10"))
     fused = os.environ.get("PCAUDIO_BENCH_FUSED", "1") == "1"
+    extraction = os.environ.get("PCAUDIO_BENCH_EXTRACTION", "exact")
 
     fs = 44100
     L = 220672  # 5 s ESC-50 clips, padded to a multiple of 1024
-    cfg = TemporalPipelineConfig(fs=fs, n_fft=1024, num_frames=10, top_k=top_k)
+    cfg = TemporalPipelineConfig(fs=fs, n_fft=1024, num_frames=10,
+                                 top_k=top_k, extraction=extraction)
     model = ST(dim_input=3, num_outputs=1, dim_output=10,
                num_inds=64, dim_hidden=64, num_heads=8, dtype=jnp.bfloat16)
 

@@ -69,3 +69,26 @@ def test_classifier_ignores_padding_chunks():
     a = fn(params, waves, lengths)
     b = fn(params, big, lengths)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_extraction_modes_consistent():
+    """Two-stage exact == flat sort (same set); approx has high recall."""
+    import dataclasses
+    waves, lengths = _waves()
+    base = TemporalPipelineConfig(fs=44100, n_fft=1024, num_frames=10,
+                                  top_k=64, trim=False)
+    exact, _, cm = extract_chunk_clouds(waves, lengths, base)
+    flatc, _, _ = extract_chunk_clouds(
+        waves, lengths, dataclasses.replace(base, extraction="flat"))
+    vc = np.asarray(cm)
+    a = np.sort(np.asarray(exact)[vc][..., 2], axis=-1)
+    b = np.sort(np.asarray(flatc)[vc][..., 2], axis=-1)
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+    approx, _, _ = extract_chunk_clouds(
+        waves, lengths, dataclasses.replace(base, extraction="approx"))
+    av = np.asarray(approx)[vc][..., 2]
+    recall = np.mean([
+        len(np.intersect1d(np.round(av[i], 5), np.round(b[i], 5))) / 64
+        for i in range(len(b))
+    ])
+    assert recall > 0.9
