@@ -157,3 +157,58 @@ def generate_all(plots_dir: str, out_dir: str) -> Sequence[str]:
                        out_path=o("rebut_importance.pdf"))
     outs.append(o("rebut_importance.pdf"))
     return outs
+
+
+# ---------------------------------------------------------------------------
+# MoG clustering visualization (``set_transformer-master/plots.py:7-41``)
+# ---------------------------------------------------------------------------
+
+def draw_ellipse(pos, cov, ax, **kwargs):
+    """2-sigma covariance ellipse for one Gaussian component."""
+    import matplotlib.patches as mpatches
+    import numpy.linalg as la
+
+    vals, vecs = la.eigh(cov)
+    order = vals.argsort()[::-1]
+    vals, vecs = vals[order], vecs[:, order]
+    theta = np.degrees(np.arctan2(*vecs[:, 0][::-1]))
+    w, h = 4 * np.sqrt(np.maximum(vals, 0))
+    ax.add_patch(mpatches.Ellipse(pos, w, h, angle=theta, alpha=0.25,
+                                  **kwargs))
+
+
+def scatter_mog(X, labels, mu, cov, ax=None):
+    """Scatter a clustered point set with per-component covariance ellipses."""
+    import matplotlib.pyplot as plt
+
+    if ax is None:
+        _, ax = plt.subplots()
+    K = mu.shape[0]
+    cmap = plt.get_cmap("tab10")
+    for k in range(K):
+        pts = X[labels == k]
+        ax.scatter(pts[:, 0], pts[:, 1], s=4, color=cmap(k % 10))
+        draw_ellipse(mu[k], cov[k], ax, color=cmap(k % 10))
+    return ax
+
+
+def plot_clustering_batch(X, labels, mu, sigma, out_path=None, ncols=2):
+    """Grid of clustered sets (``mixture_of_mvns.py:48-58``): diagonal sigmas
+    become diag covariance ellipses."""
+    import matplotlib.pyplot as plt
+
+    B = X.shape[0]
+    nrows = -(-B // ncols)
+    fig, axes = plt.subplots(nrows, ncols, figsize=(3 * ncols, 3 * nrows))
+    for i, ax in enumerate(np.atleast_1d(axes).flatten()):
+        if i >= B:
+            ax.axis("off")
+            continue
+        cov = np.stack([np.diag(s ** 2) for s in np.asarray(sigma[i])])
+        scatter_mog(np.asarray(X[i]), np.asarray(labels[i]),
+                    np.asarray(mu[i]), cov, ax=ax)
+        ax.set_xticks([])
+        ax.set_yticks([])
+    if out_path:
+        fig.savefig(out_path, bbox_inches="tight")
+    return fig

@@ -1,0 +1,103 @@
+"""Production serving wrapper: checkpoint → batched wave→class classifier.
+
+The reference has no serving story (eval scripts re-featurize with librosa on
+the host per run).  ``AudioClassifier`` packages the whole fused pipeline
+behind one call: fixed compiled batch shapes (requests padded to the bucket,
+no recompiles), the fused Pallas ST kernel, and reference-checkpoint loading.
+
+    clf = AudioClassifier.from_reference_checkpoint(cfg_json, pth)
+    labels, probs = clf.classify(list_of_float32_clips)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcaudio.core.config import ARCH_3ST, ARCH_FST, ExperimentConfig
+from pcaudio.data.audio_io import pad_batch
+from pcaudio.eval.pipeline import TemporalPipelineConfig, make_temporal_classifier
+
+
+@dataclasses.dataclass
+class AudioClassifier:
+    """Batched end-to-end classifier for temporal (3ST-style) models."""
+
+    model: object
+    params: object
+    pipeline: TemporalPipelineConfig
+    batch_size: int = 64
+    buffer_len: int = 220672  # 5 s at 44.1 kHz
+    use_fused_st: bool = True
+
+    def __post_init__(self):
+        self._fn = jax.jit(
+            make_temporal_classifier(
+                self.model, self.pipeline, use_fused_st=self.use_fused_st
+            )
+        )
+
+    @classmethod
+    def from_reference_checkpoint(
+        cls,
+        config_json: str,
+        pth_path: str,
+        top_k: Optional[int] = 256,
+        **kw,
+    ) -> "AudioClassifier":
+        cfg = ExperimentConfig.from_reference_json(config_json)
+        assert cfg.architecture in (ARCH_FST, ARCH_3ST), (
+            "serving pipeline targets the set-transformer models"
+        )
+        model = cfg.build_model()
+        params = cfg.import_torch_checkpoint(pth_path)
+        pipe = TemporalPipelineConfig(
+            fs=cfg.sampling_rate,
+            n_fft=cfg.window_size,
+            hop_factor=cfg.hop_factor,
+            num_frames=cfg.Ntemp or 10,
+            top_db=cfg.trim_dB,
+            top_k=top_k,
+        )
+        return cls(model=model, params=params, pipeline=pipe, **kw)
+
+    @classmethod
+    def from_orbax(cls, directory: str, top_k: Optional[int] = 256,
+                   **kw) -> "AudioClassifier":
+        from pcaudio.checkpoint.orbax_io import load_checkpoint
+
+        tree, cfg, _ = load_checkpoint(directory)
+        model = cfg.build_model()
+        pipe = TemporalPipelineConfig(
+            fs=cfg.sampling_rate, n_fft=cfg.window_size,
+            hop_factor=cfg.hop_factor, num_frames=cfg.Ntemp or 10,
+            top_db=cfg.trim_dB, top_k=top_k,
+        )
+        return cls(model=model, params=tree["params"], pipeline=pipe, **kw)
+
+    def logits(self, clips: Sequence[np.ndarray]) -> np.ndarray:
+        """Classify ragged float32 clips; pads to the compiled batch bucket
+        so repeated calls never recompile.  Returns ``[len(clips), nclass]``."""
+        outs: List[np.ndarray] = []
+        for start in range(0, len(clips), self.batch_size):
+            group = clips[start: start + self.batch_size]
+            waves, lengths = pad_batch(group, self.buffer_len)
+            n = len(group)
+            if n < self.batch_size:  # pad request to the bucket
+                waves = np.pad(waves, ((0, self.batch_size - n), (0, 0)))
+                lengths = np.pad(lengths, (0, self.batch_size - n),
+                                 constant_values=1)
+            out = self._fn(self.params, jnp.asarray(waves), jnp.asarray(lengths))
+            outs.append(np.asarray(out)[:n])
+        return np.concatenate(outs, axis=0)
+
+    def classify(
+        self, clips: Sequence[np.ndarray]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns ``(predicted_labels [N], probabilities [N, nclass])``."""
+        lg = self.logits(clips)
+        probs = np.asarray(jax.nn.softmax(jnp.asarray(lg), axis=-1))
+        return np.argmax(lg, axis=-1), probs

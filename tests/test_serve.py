@@ -1,0 +1,41 @@
+"""Serving wrapper: reference-checkpoint load + ragged batched classify."""
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import matplotlib
+matplotlib.use("Agg")
+
+from pcaudio.serve import AudioClassifier
+
+REF = "/root/reference/Code/model_saves"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_serve_from_reference_checkpoint():
+    cfg = sorted(glob.glob(os.path.join(REF, "3ST*_config.json")))[-1]
+    pth = sorted(glob.glob(os.path.join(REF, "3ST*_net.pth")))[-1]
+    clf = AudioClassifier.from_reference_checkpoint(
+        cfg, pth, top_k=64, batch_size=3, buffer_len=32768)
+    rng = np.random.default_rng(0)
+    clips = [0.1 * rng.standard_normal(n).astype(np.float32)
+             for n in (30000, 20000, 15000, 8000)]  # ragged, crosses buckets
+    labels, probs = clf.classify(clips)
+    assert labels.shape == (4,) and probs.shape == (4, 10)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
+    # bucket padding must not change results
+    l2, p2 = clf.classify(clips[:1])
+    np.testing.assert_allclose(p2[0], probs[0], atol=1e-5)
+
+
+def test_mog_plotting(tmp_path):
+    import jax
+    from pcaudio.eval.plots import plot_clustering_batch
+    from pcaudio.tasks.clustering import sample_mog
+
+    X, labels, pi, (mu, sigma) = sample_mog(jax.random.key(0), 4, 100, 3)
+    out = str(tmp_path / "mog.png")
+    plot_clustering_batch(X, labels, mu, sigma, out_path=out)
+    assert os.path.getsize(out) > 5000
