@@ -28,7 +28,7 @@ def main():
     from pcaudio.nn import ST
 
     B = int(os.environ.get("PCAUDIO_BENCH_BATCH", "512"))
-    top_k = int(os.environ.get("PCAUDIO_BENCH_TOPK", "256"))
+    top_k = int(os.environ.get("PCAUDIO_BENCH_TOPK", "128"))
     iters = int(os.environ.get("PCAUDIO_BENCH_ITERS", "10"))
     fused = os.environ.get("PCAUDIO_BENCH_FUSED", "1") == "1"
     extraction = os.environ.get("PCAUDIO_BENCH_EXTRACTION", "exact")
