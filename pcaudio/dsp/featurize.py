@@ -37,6 +37,9 @@ class FeaturizeConfig:
     log_floor: float = 1.0e-8
     hop_length_override: Optional[int] = None  # eval sweeps hop on win_length
     mag_norm: Optional[float] = None           # eval sweeps divide by win_length
+    # "highest" = f32-accurate DFT matmul (parity/eval); "default" = fast
+    # bf16-pass matmul (serving; ~3x on the STFT, |err| ~4e-3 on log-mags)
+    precision: str = "highest"
 
     @property
     def hop_length(self) -> int:
@@ -69,6 +72,8 @@ def featurize_clip(
         win_length=cfg.win_length,
         log_floor=cfg.log_floor,
         mag_norm=cfg.mag_norm,
+        precision=(jax.lax.Precision.HIGHEST if cfg.precision == "highest"
+                   else jax.lax.Precision.DEFAULT),
     )
 
 

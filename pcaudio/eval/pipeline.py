@@ -38,6 +38,7 @@ class TemporalPipelineConfig:
     top_k: Optional[int] = None   # None → full 5120-point clouds
     trim: bool = True
     top_db: float = 60.0
+    stft_precision: str = "highest"  # "default" for serving speed
     # "exact": reference top-K semantics (two-stage per-frame decomposition
     # when K ≤ bins — provably identical set, ~30%% faster than a flat sort);
     # "approx": jax.lax.approx_max_k on bf16 keys (~2.7x faster, recall ≥0.99)
@@ -52,6 +53,7 @@ class TemporalPipelineConfig:
             win_length=self.win_length,
             top_db=self.top_db,
             trim=self.trim,
+            precision=self.stft_precision,
         )
 
 

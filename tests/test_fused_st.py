@@ -39,3 +39,21 @@ def test_fused_st_fst_config_shapes():
     got = fused_st_forward(params, pts, None, num_heads=8, block_b=3)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=5e-2, rtol=5e-2)
+
+
+def test_fused_st_v3_matches_model():
+    """v3 (block-batched, experimental) parity on CPU interpret mode."""
+    from pcaudio.ops.kernels.fused_st_v3 import fused_st_forward_v3
+
+    rng = np.random.default_rng(2)
+    model = ST(dim_input=3, dim_output=10, num_inds=8, dim_hidden=16,
+               num_heads=4)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 8, 3)))
+    B, K = 5, 32
+    pts = jnp.asarray(rng.standard_normal((B, K, 3)).astype(np.float32))
+    counts = np.array([32, 20, 10, 3, 1])
+    mask = jnp.asarray(np.arange(K)[None, :] < counts[:, None])
+    ref = model.apply(params, pts, mask=mask)
+    got = fused_st_forward_v3(params, pts, mask, num_heads=4, block_b=5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-2, rtol=5e-2)
