@@ -18,3 +18,14 @@ __all__ = [
     "deepset_params", "set_transformer_params",
     "mab_params", "sab_params", "isab_params", "pma_params",
 ]
+from pcaudio.checkpoint.torch_export import (
+    st_state_dict,
+    baseline_ff_state_dict,
+    cnn_classifier_state_dict,
+    save_pth,
+)
+
+__all__ += [
+    "st_state_dict", "baseline_ff_state_dict", "cnn_classifier_state_dict",
+    "save_pth",
+]
