@@ -16,13 +16,12 @@ v3 therefore lifts everything weight-shared to block level:
 Math identical to the reference MAB (``modules.py:19-33``); parity-tested
 against the XLA path (CPU interpret mode).  Forward-only.
 
-STATUS: experimental.  Correct, but Mosaic compile time through this
-environment's remote-compile tunnel exceeded 40 minutes at serving shapes
-(even with the per-sample loops as fori_loop), so v2
-(:func:`pcaudio.ops.kernels.fused_st.fused_st_forward`, ~3 min compile,
-62 ms at 5504x256) remains the production serving kernel this round.
-Next round: profile the Mosaic lowering, or split the block-logits matmul
-into a two-level grid to shrink the program.
+STATUS: experimental, measured SLOWER than v2 (45.9 vs 39.0 ms at
+5504x128-pt clouds on v5e): the fori_loop per-iteration overhead plus the
+8x-FLOP block-diagonal logits matmul eat the savings from block-level
+projections.  v2 (:func:`pcaudio.ops.kernels.fused_st.fused_st_forward`)
+remains the production serving kernel.  Kept as the starting point for a
+two-level-grid variant (kernel-internal pipelining over samples) next round.
 """
 from __future__ import annotations
 
