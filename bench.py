@@ -31,7 +31,7 @@ def main():
     top_k = int(os.environ.get("PCAUDIO_BENCH_TOPK", "128"))
     iters = int(os.environ.get("PCAUDIO_BENCH_ITERS", "10"))
     fused = os.environ.get("PCAUDIO_BENCH_FUSED", "1") == "1"
-    extraction = os.environ.get("PCAUDIO_BENCH_EXTRACTION", "exact")
+    extraction = os.environ.get("PCAUDIO_BENCH_EXTRACTION", "approx")
     stft_precision = os.environ.get("PCAUDIO_BENCH_STFT_PRECISION", "default")
 
     fs = 44100

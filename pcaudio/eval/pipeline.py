@@ -82,9 +82,11 @@ def extract_chunk_clouds(
         mags = chunks.reshape(B, C, Nt * F)
         k = cfg.top_k
         if cfg.extraction == "approx":
-            _, idx = jax.lax.approx_max_k(
+            # bf16 keys AND bf16 selected magnitudes (the f32 re-gather costs
+            # more than the selection itself at serving batch sizes)
+            bvals, idx = jax.lax.approx_max_k(
                 mags.astype(jnp.bfloat16), k, recall_target=0.99)
-            vals = jnp.take_along_axis(mags, idx, axis=-1)
+            vals = bvals.astype(mags.dtype)
         elif cfg.extraction == "exact" and k <= F:
             # per-frame top-k (a frame contributes at most k of the global
             # top-k) then combine — exact, cheaper than one 5120-wide sort

@@ -101,3 +101,47 @@ class AudioClassifier:
         lg = self.logits(clips)
         probs = np.asarray(jax.nn.softmax(jnp.asarray(lg), axis=-1))
         return np.argmax(lg, axis=-1), probs
+
+    def classify_paths(self, paths: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+        """Decode WAV files (native threaded decoder when available) and
+        classify, overlapping host decode of batch i+1 with device compute of
+        batch i — the production ingest path the reference's per-clip
+        ``librosa.load`` loop can't do (``Code/settransformer.py:43-47``)."""
+        import queue
+        import threading
+
+        from pcaudio.data.audio_io import load_wav_batch
+
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+
+        def producer():
+            try:
+                for i in range(0, len(paths), self.batch_size):
+                    group = paths[i: i + self.batch_size]
+                    waves, lengths = load_wav_batch(group, self.buffer_len)
+                    n = len(group)
+                    if n < self.batch_size:
+                        waves = np.pad(waves, ((0, self.batch_size - n), (0, 0)))
+                        lengths = np.pad(lengths, (0, self.batch_size - n),
+                                         constant_values=1)
+                    q.put((waves, lengths, n))
+            except Exception as e:  # surface decode errors to the consumer
+                q.put(e)
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        pending = []  # async device results; collected at the end
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, Exception):
+                raise item
+            waves, lengths, n = item
+            out = self._fn(self.params, jnp.asarray(waves), jnp.asarray(lengths))
+            pending.append((out, n))  # dispatch is async; don't block here
+        t.join()
+        lg = np.concatenate([np.asarray(o)[:n] for o, n in pending], axis=0)
+        probs = np.asarray(jax.nn.softmax(jnp.asarray(lg), axis=-1))
+        return np.argmax(lg, axis=-1), probs

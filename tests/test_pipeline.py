@@ -86,9 +86,10 @@ def test_extraction_modes_consistent():
     np.testing.assert_allclose(a, b, rtol=1e-6)
     approx, _, _ = extract_chunk_clouds(
         waves, lengths, dataclasses.replace(base, extraction="approx"))
-    av = np.asarray(approx)[vc][..., 2]
-    recall = np.mean([
-        len(np.intersect1d(np.round(av[i], 5), np.round(b[i], 5))) / 64
-        for i in range(len(b))
-    ])
-    assert recall > 0.9
+    av = np.sort(np.asarray(approx)[vc][..., 2], axis=-1)
+    # approx mode selects under bf16 ordering (ties at the boundary may
+    # differ on noise inputs) and returns bf16-rounded magnitudes: check the
+    # selected mass matches the exact selection closely
+    assert np.abs(av.mean() - b.mean()) < 0.02 * np.abs(b.mean()) + 1e-3
+    # and the top half (well above the tie boundary) agrees point-for-point
+    np.testing.assert_allclose(av[:, 32:], b[:, 32:], rtol=1e-2)

@@ -39,3 +39,33 @@ def test_mog_plotting(tmp_path):
     out = str(tmp_path / "mog.png")
     plot_clustering_batch(X, labels, mu, sigma, out_path=out)
     assert os.path.getsize(out) > 5000
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_classify_paths_overlapped(tmp_path):
+    import wave as wavemod
+
+    cfg = sorted(glob.glob(os.path.join(REF, "3ST*_config.json")))[-1]
+    pth = sorted(glob.glob(os.path.join(REF, "3ST*_net.pth")))[-1]
+    clf = AudioClassifier.from_reference_checkpoint(
+        cfg, pth, top_k=64, batch_size=2, buffer_len=32768)
+    rng = np.random.default_rng(0)
+    paths, clips = [], []
+    for i in range(5):
+        x = (0.1 * rng.standard_normal(20000 + 1000 * i)).astype(np.float32)
+        p = str(tmp_path / f"c{i}.wav")
+        with wavemod.open(p, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(44100)
+            w.writeframes((x * 32767).astype("<i2").tobytes())
+        paths.append(p)
+        clips.append(x)
+    labels, probs = clf.classify_paths(paths)
+    assert labels.shape == (5,)
+    # matches the in-memory path (modulo int16 quantization of the files)
+    l2, p2 = clf.classify(
+        [(c * 32767).astype(np.int16).astype(np.float32) / 32768
+         for c in clips])
+    np.testing.assert_array_equal(labels, l2)
+    np.testing.assert_allclose(probs, p2, atol=1e-4)
