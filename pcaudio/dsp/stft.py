@@ -95,17 +95,40 @@ def stft_logmag(
     pad = n_fft // 2
     padded = pad_center_reflect(wave, length, pad)
     t_max = max_frames_centered(wave.shape[0], hop_length)
-    frames = frame(padded, n_fft, hop_length, t_max)  # [T_max, n_fft]
-    frames = frames * stft_window(n_fft, win_length, frames.dtype)[None, :]
     norm = float(mag_norm if mag_norm is not None else n_fft)
-    if method == "dft_matmul":
-        f = n_fft // 2 + 1
-        reim = jnp.dot(frames, dft_matrix(n_fft, frames.dtype),
-                       precision=precision)  # [T_max, 2F]
+    f = n_fft // 2 + 1
+    if method == "dft_matmul" and n_fft % hop_length == 0:
+        # Zero-materialization path: fold the analysis window into the DFT
+        # basis and express framing as a sum of strided-view matmuls —
+        # spec[t] = Σ_i padded[t·hop + i·hop : +hop] @ W'[i·hop:(i+1)·hop]
+        # — so the [T, n_fft] frame tensor (2x the waveform bytes) is never
+        # written to HBM.
+        mdiv = n_fft // hop_length
+        w_dft = (stft_window(n_fft, win_length)[:, None]
+                 * dft_matrix(n_fft))                      # [n_fft, 2F]
+        rows = t_max + mdiv - 1
+        need = rows * hop_length
+        if need > padded.shape[0]:
+            padded = jnp.pad(padded, (0, need - padded.shape[0]))
+        a = padded[:need].reshape(rows, hop_length)
+        reim = jnp.zeros((t_max, 2 * f), padded.dtype)
+        for i in range(mdiv):
+            reim = reim + jnp.dot(
+                a[i: i + t_max],
+                w_dft[i * hop_length: (i + 1) * hop_length],
+                precision=precision,
+            )
         mag = jnp.sqrt(reim[:, :f] ** 2 + reim[:, f:] ** 2) / norm
     else:
-        spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)  # [T_max, F]
-        mag = jnp.abs(spec) / norm
+        frames = frame(padded, n_fft, hop_length, t_max)  # [T_max, n_fft]
+        frames = frames * stft_window(n_fft, win_length, frames.dtype)[None, :]
+        if method == "dft_matmul":
+            reim = jnp.dot(frames, dft_matrix(n_fft, frames.dtype),
+                           precision=precision)  # [T_max, 2F]
+            mag = jnp.sqrt(reim[:, :f] ** 2 + reim[:, f:] ** 2) / norm
+        else:
+            spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)  # [T_max, F]
+            mag = jnp.abs(spec) / norm
     logmag = jnp.log(log_floor + mag)
     mask = jnp.arange(t_max) < num_frames_centered(length, hop_length)
     return logmag, mask

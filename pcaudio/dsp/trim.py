@@ -38,28 +38,60 @@ def frame_power(
     """
     L = wave.shape[0]
     pad = frame_length // 2
+    mdiv = frame_length // hop_length
+    assert frame_length % hop_length == 0 and pad % hop_length == 0, (
+        "frame_power fast path requires hop | frame_length (librosa defaults "
+        "2048/512 and every reference config satisfy this)"
+    )
     x = wave * (jnp.arange(L) < length)
-    # One cumsum of x^2; every frame energy (including the reflect-padded
-    # edge frames) is a difference of cumsum entries — no padded-signal
-    # materialization, no full-length gather (SURVEY perf note: generic
-    # gathers are the TPU killer here).
-    cs = jnp.concatenate([jnp.zeros(1, wave.dtype), jnp.cumsum(x * x)])
-
-    def E(lo, hi):
-        """sum x[lo:hi]^2 with index clamping (empty when hi <= lo)."""
-        lo = jnp.clip(lo, 0, L)
-        hi = jnp.clip(hi, 0, L)
-        return cs[hi] - cs[jnp.minimum(lo, hi)]
-
     t_max = max_frames_centered(L, hop_length)
-    a = jnp.arange(t_max) * hop_length - pad          # frame start, unpadded coords
+
+    # Frame t spans unpadded samples [t·hop − pad, t·hop − pad + frame_len) —
+    # exactly mdiv consecutive hop-sized blocks.  Block energies need ONE
+    # pass over the wave; the frame main term is a shift-add of mdiv blocks
+    # (a full-length cumsum costs log-depth passes — measured the featurize
+    # hog on v5e).  Blocks beyond `length` contribute zero because x is
+    # zeroed there, so no clamping is needed.
+    nb = t_max + mdiv  # enough blocks to cover every frame's window
+    xb = jnp.pad(x, (0, max(0, nb * hop_length - L)))[: nb * hop_length]
+    eb = jnp.sum((xb * xb).reshape(nb, hop_length), axis=-1)  # [nb]
+    off = pad // hop_length
+    t = jnp.arange(t_max)
+    main = jnp.zeros(t_max, wave.dtype)
+    for i in range(-off, mdiv - off):
+        idx = t + i
+        main = main + jnp.where((idx >= 0) & (idx < nb), eb[jnp.clip(idx, 0, nb - 1)], 0.0)
+
+    a = t * hop_length - pad
     b = a + frame_length
-    main = E(jnp.maximum(a, 0), jnp.minimum(b, length))
-    # left reflect: positions [a, 0) map to samples [1, -a]
-    left = jnp.where(a < 0, E(1, -a + 1), 0.0)
-    # right reflect: positions [length, b) map to samples [2len-1-b, 2len-2-d]
-    d = jnp.maximum(a, length)
-    right = jnp.where(b > length, E(2 * length - 1 - b, 2 * length - 1 - d), 0.0)
+
+    # left reflect: positions [a, 0) mirror to samples [1, −a] — only the
+    # first `off` frames; each is a block-prefix sum shifted by one sample.
+    x0sq = x[0] * x[0]
+    lvals = []
+    for j in range(1, off + 1):  # frame t = off - j has −a = j·hop
+        span = jnp.sum(eb[:j])  # Σ x[0 : j·hop]^2
+        lvals.append(span - x0sq + x[jnp.minimum(j * hop_length, L - 1)] ** 2
+                     * (j * hop_length < length))
+    left = jnp.zeros(t_max, wave.dtype)
+    for j in range(1, off + 1):
+        left = left.at[off - j].set(jnp.where(length > 0, lvals[j - 1], 0.0))
+    left = jnp.where(a < 0, left, 0.0)
+
+    # right reflect: positions [length, b) mirror to a window ENDING at
+    # length−2 of size (b − length); resolve with a small local cumsum over
+    # the last `frame_length + hop` samples.
+    tail = frame_length + hop_length
+    start = jnp.clip(length - tail, 0, L - tail)
+    lx = jax.lax.dynamic_slice(x, (start,), (tail,))
+    lc = jnp.concatenate([jnp.zeros(1, wave.dtype), jnp.cumsum(lx * lx)])
+    offl = length - start  # index of `length` inside the local window
+    w = jnp.clip(b - length, 0, frame_length)
+    # Σ x[length−1−w : length−1)^2 = lc[offl−1] − lc[offl−1−w]
+    hi = jnp.clip(offl - 1, 0, tail)
+    lo = jnp.clip(offl - 1 - w, 0, tail)
+    right = jnp.where((b > length) & (a < length), lc[hi] - lc[lo], 0.0)
+
     mse = (main + left + right) / frame_length
     mask = jnp.arange(t_max) < num_frames_centered(length, hop_length)
     return mse, mask
