@@ -33,12 +33,14 @@ def main():
     fused = os.environ.get("PCAUDIO_BENCH_FUSED", "1") == "1"
     extraction = os.environ.get("PCAUDIO_BENCH_EXTRACTION", "approx")
     stft_precision = os.environ.get("PCAUDIO_BENCH_STFT_PRECISION", "default")
+    compute_dtype = os.environ.get("PCAUDIO_BENCH_DTYPE", "bfloat16")
 
     fs = 44100
     L = 220672  # 5 s ESC-50 clips, padded to a multiple of 1024
     cfg = TemporalPipelineConfig(fs=fs, n_fft=1024, num_frames=10,
                                  top_k=top_k, extraction=extraction,
-                                 stft_precision=stft_precision)
+                                 stft_precision=stft_precision,
+                                 compute_dtype=compute_dtype)
     model = ST(dim_input=3, num_outputs=1, dim_output=10,
                num_inds=64, dim_hidden=64, num_heads=8, dtype=jnp.bfloat16)
 

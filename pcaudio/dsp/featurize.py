@@ -40,6 +40,9 @@ class FeaturizeConfig:
     # "highest" = f32-accurate DFT matmul (parity/eval); "default" = fast
     # bf16-pass matmul (serving; ~3x on the STFT, |err| ~4e-3 on log-mags)
     precision: str = "highest"
+    # "bfloat16" halves every downstream pass over the spectrograms (serving;
+    # the set models compute in bf16 anyway).  "float32" for eval parity.
+    out_dtype: str = "float32"
 
     @property
     def hop_length(self) -> int:
@@ -74,6 +77,7 @@ def featurize_clip(
         mag_norm=cfg.mag_norm,
         precision=(jax.lax.Precision.HIGHEST if cfg.precision == "highest"
                    else jax.lax.Precision.DEFAULT),
+        out_dtype=jnp.bfloat16 if cfg.out_dtype == "bfloat16" else jnp.float32,
     )
 
 

@@ -73,6 +73,7 @@ def stft_logmag(
     method: str = "dft_matmul",
     precision=jax.lax.Precision.HIGHEST,
     mag_norm: Optional[float] = None,
+    out_dtype=jnp.float32,
 ) -> Tuple[Array, Array]:
     """Single-clip log-magnitude STFT.
 
@@ -129,7 +130,7 @@ def stft_logmag(
         else:
             spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)  # [T_max, F]
             mag = jnp.abs(spec) / norm
-    logmag = jnp.log(log_floor + mag)
+    logmag = jnp.log(log_floor + mag).astype(out_dtype)
     mask = jnp.arange(t_max) < num_frames_centered(length, hop_length)
     return logmag, mask
 

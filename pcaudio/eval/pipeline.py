@@ -39,6 +39,7 @@ class TemporalPipelineConfig:
     trim: bool = True
     top_db: float = 60.0
     stft_precision: str = "highest"  # "default" for serving speed
+    compute_dtype: str = "float32"   # "bfloat16" halves serving memory traffic
     # "exact": reference top-K semantics (two-stage per-frame decomposition
     # when K ≤ bins — provably identical set, ~30%% faster than a flat sort);
     # "approx": jax.lax.approx_max_k on bf16 keys (~2.7x faster, recall ≥0.99)
@@ -54,6 +55,7 @@ class TemporalPipelineConfig:
             top_db=self.top_db,
             trim=self.trim,
             precision=self.stft_precision,
+            out_dtype=self.compute_dtype,
         )
 
 
@@ -96,7 +98,8 @@ def extract_chunk_clouds(
             idx = jnp.take_along_axis(flat_i.reshape(B, C, Nt * k), i2, axis=-1)
         else:
             vals, idx = jax.lax.top_k(mags, k)  # frequency-fastest flat idx
-        clouds = jnp.stack([farr[idx % F], tarr[idx // F], vals], axis=-1)
+        clouds = jnp.stack([farr[idx % F].astype(vals.dtype),
+                            tarr[idx // F].astype(vals.dtype), vals], axis=-1)
         pmask = jnp.broadcast_to(chunk_mask[..., None], clouds.shape[:-1])
         return clouds, pmask, chunk_mask
     clouds = grid_cloud(chunks, farr, tarr)  # [B, C, Nt*F, 3]
