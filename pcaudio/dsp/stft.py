@@ -142,14 +142,17 @@ def batched_stft_logmag(
     hop_length: Optional[int] = None,
     win_length: Optional[int] = None,
     log_floor: float = 1.0e-8,
+    **kw,
 ) -> Tuple[Array, Array]:
     """vmapped :func:`stft_logmag` over a ``[B, L]`` batch → ``([B, T_max, F],
-    [B, T_max])``."""
+    [B, T_max])``.  Extra kwargs pass through (method/precision/mag_norm/
+    out_dtype)."""
     fn = partial(
         stft_logmag,
         n_fft=n_fft,
         hop_length=hop_length,
         win_length=win_length,
         log_floor=log_floor,
+        **kw,
     )
     return jax.vmap(fn)(waves, lengths)

@@ -140,7 +140,8 @@ def make_temporal_classifier(model, cfg: TemporalPipelineConfig,
     return fn
 
 
-def make_chunk_logits(model, cfg: TemporalPipelineConfig):
+def make_chunk_logits(model, cfg: TemporalPipelineConfig,
+                      use_fused_st: bool = False):
     """Like :func:`make_temporal_classifier` but returns per-chunk logits and
     the chunk mask — the reference's unit of evaluation
     (``Code/pc_temp3d_eval.py``)."""
@@ -148,9 +149,18 @@ def make_chunk_logits(model, cfg: TemporalPipelineConfig):
     def fn(params, waves: Array, lengths: Array):
         clouds, pmask, chunk_mask = extract_chunk_clouds(waves, lengths, cfg)
         B, C, K, d = clouds.shape
-        logits = model.apply(
-            params, clouds.reshape(B * C, K, d), mask=pmask.reshape(B * C, K)
-        ).reshape(B, C, -1)
+        if use_fused_st:
+            from pcaudio.ops.kernels.fused_st import fused_st_forward
+
+            logits = fused_st_forward(
+                params, clouds.reshape(B * C, K, d),
+                pmask.reshape(B * C, K), num_heads=model.num_heads,
+            ).reshape(B, C, -1)
+        else:
+            logits = model.apply(
+                params, clouds.reshape(B * C, K, d),
+                mask=pmask.reshape(B * C, K)
+            ).reshape(B, C, -1)
         return logits, chunk_mask
 
     return fn

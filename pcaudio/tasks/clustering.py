@@ -125,9 +125,13 @@ def make_train_step(model, optimizer, cfg: ClusteringConfig):
 
 
 def train(cfg: ClusteringConfig, *, num_steps: Optional[int] = None,
-          seed: int = 0, log_every: int = 1000, log=print):
+          seed: int = 0, log_every: int = 1000, log=print,
+          checkpoint_dir: Optional[str] = None,
+          checkpoint_every: Optional[int] = None):
     """Train the amortized clusterer on freshly sampled mixtures each step
-    (N drawn uniformly in [N_min, N_max], ``run.py`` semantics)."""
+    (N drawn uniformly in [N_min, N_max], ``run.py`` semantics, including its
+    periodic checkpointing — ``run.py:105-110`` saves .tar snapshots; here
+    orbax)."""
     model, optimizer, params = build(cfg)
     state = TrainState.create(params, optimizer)
     step_fn = make_train_step(model, optimizer, cfg)
@@ -142,6 +146,11 @@ def train(cfg: ClusteringConfig, *, num_steps: Optional[int] = None,
         state, loss = step_fn(state, X, sub)
         if t % log_every == 0:
             log(f"step {t}: -ll {float(loss):.4f}")
+        if checkpoint_dir and checkpoint_every and (t + 1) % checkpoint_every == 0:
+            from pcaudio.checkpoint.orbax_io import save_checkpoint
+
+            save_checkpoint(checkpoint_dir, jax.device_get(state.params),
+                            None, step=t + 1)
     return model, state
 
 

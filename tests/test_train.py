@@ -149,3 +149,13 @@ def test_eval_step_counts():
     lbl = jnp.zeros((6,), jnp.int32)
     correct, total = ev(params, {"points": pts, "labels": lbl})
     assert int(total) == 6 and 0 <= int(correct) <= 6
+
+
+def test_multihost_global_mesh():
+    """global_mesh covers all (virtual) devices with the (data, set) axes."""
+    from pcaudio.parallel.multihost import global_mesh, local_batch_slice
+
+    mesh = global_mesh(n_set=2)
+    assert mesh.shape["data"] * mesh.shape["set"] == 8
+    s = local_batch_slice(64)
+    assert s == slice(0, 64)  # single process owns the whole batch
