@@ -49,6 +49,12 @@ from pcaudio.ops.subsample import (
 
 Array = jax.Array
 
+# ONE process-wide jitted featurizer, keyed by the frozen FeaturizeConfig —
+# a sweep point's (n_fft, win, hop, fs) combination compiles exactly once per
+# process, shared across models and repeated experiment runs (a per-sweep-
+# point ``jax.jit(lambda ...)`` would recompile every iteration).
+_jit_featurize = jax.jit(featurize_batch, static_argnames=("cfg",))
+
 
 def default_list_N(Nfft: int, include_larger: bool = True) -> List[int]:
     """The reference window sweep (``Code/pceval.py:56``; set models include
@@ -152,9 +158,7 @@ def framewise_expt1(
                 F, N, fsog=fsog, hf=hf, tDb=tDb,
                 fixed_nfft=Nfft if fixed_nfft else None,
             )
-            lm, fm = jax.jit(
-                lambda w, l, c=cfg: featurize_batch(w, l, c)
-            )(waves, lengths)
+            lm, fm = _jit_featurize(waves, lengths, cfg=cfg)
             frames, valid, flabels = _valid_frames(lm, fm, labels)
             farr = freq_coords(frames.shape[-1], int(F))
             logits = jitted(frames, farr)
@@ -196,9 +200,7 @@ def temporal_expt1(
                 F, N, fsog=fsog, hf=hf, tDb=tDb,
                 fixed_nfft=Nfft if fixed_nfft else None,
             )
-            lm, fm = jax.jit(
-                lambda w, l, c=cfg: featurize_batch(w, l, c)
-            )(waves, lengths)
+            lm, fm = _jit_featurize(waves, lengths, cfg=cfg)
             chunks, cmask = batched_temporal_chunks(lm, fm, Ntemp)
             B, C, Nt, bins = chunks.shape
             flat = chunks.reshape(B * C, Nt, bins)
@@ -241,7 +243,7 @@ def framewise_expt2(
     """
     list_K = default_list_K(Nfft // 2) if list_K is None else [int(k) for k in list_K]
     cfg = FeaturizeConfig(fs=fsog, n_fft=Nfft, top_db=tDb, trim=True)
-    lm, fm = jax.jit(lambda w, l: featurize_batch(w, l, cfg))(waves, lengths)
+    lm, fm = _jit_featurize(waves, lengths, cfg=cfg)
     frames, valid, flabels = _valid_frames(lm, fm, labels)
     farr = freq_coords(frames.shape[-1], fsog)
 
@@ -251,27 +253,35 @@ def framewise_expt2(
 
     if mode == "cloud":
         clouds = frame_cloud(frames, farr)
-        jc = jax.jit(cloud_classifier)
+        # selection + classification fused into ONE compiled program per K
+        # (static arg) — no materialized intermediate clouds, no per-call
+        # retrace across the nruns loop.
+        jrand = jax.jit(lambda k2, c, K: cloud_classifier(rand_k_points(k2, c, K)),
+                        static_argnums=2)
+        jmax = jax.jit(lambda c, K: cloud_classifier(top_k_points(c, K)),
+                       static_argnums=1)
         for K in list_K:
             accs = []
             for r in range(nruns):
                 key, sub = jax.random.split(key)
-                sel = rand_k_points(sub, clouds, K)
-                accs.append(_accuracy(jc(sel), flabels, valid))
+                accs.append(_accuracy(jrand(sub, clouds, K), flabels, valid))
             rand_out["data"][K] = [float(np.mean(accs)), float(np.var(accs))]
-            sel = top_k_points(clouds, K)
-            max_out["data"][K] = [_accuracy(jc(sel), flabels, valid), 0]
+            max_out["data"][K] = [_accuracy(jmax(clouds, K), flabels, valid), 0]
     elif mode == "replace":
-        jf = jax.jit(frame_classifier)
+        jrand = jax.jit(
+            lambda k2, fr, fa, K: frame_classifier(rand_k_replace(k2, fr, K), fa),
+            static_argnums=3)
+        jmax = jax.jit(lambda fr, fa, K: frame_classifier(top_k_replace(fr, K), fa),
+                       static_argnums=2)
         for K in list_K:
             accs = []
             for r in range(nruns):
                 key, sub = jax.random.split(key)
-                rep = rand_k_replace(sub, frames, K)
-                accs.append(_accuracy(jf(rep, farr), flabels, valid))
+                accs.append(_accuracy(jrand(sub, frames, farr, K),
+                                      flabels, valid))
             rand_out["data"][K] = [float(np.mean(accs)), float(np.var(accs))]
-            rep = top_k_replace(frames, K)
-            max_out["data"][K] = [_accuracy(jf(rep, farr), flabels, valid), 0]
+            max_out["data"][K] = [_accuracy(jmax(frames, farr, K),
+                                            flabels, valid), 0]
     else:
         raise ValueError(f"mode must be 'cloud' or 'replace', got {mode!r}")
     return rand_out, max_out
@@ -279,7 +289,7 @@ def framewise_expt2(
 
 def _temporal_test_chunks(waves, lengths, labels, *, fsog, Nfft, Ntemp, hf, tDb):
     cfg = FeaturizeConfig(fs=fsog, n_fft=Nfft, top_db=tDb, trim=True)
-    lm, fm = jax.jit(lambda w, l: featurize_batch(w, l, cfg))(waves, lengths)
+    lm, fm = _jit_featurize(waves, lengths, cfg=cfg)
     chunks, cmask = batched_temporal_chunks(lm, fm, Ntemp)
     B, C, Nt, bins = chunks.shape
     flat = chunks.reshape(B * C, Nt, bins)
@@ -320,27 +330,33 @@ def temporal_expt2(
 
     if mode == "cloud":
         clouds = grid_cloud(flat, farr, tarr)
-        jc = jax.jit(cloud_classifier)
+        jrand = jax.jit(lambda k2, c, K: cloud_classifier(rand_k_points(k2, c, K)),
+                        static_argnums=2)
+        jmax = jax.jit(lambda c, K: cloud_classifier(top_k_points(c, K)),
+                       static_argnums=1)
         for K in list_K:
             accs = []
             for r in range(nruns):
                 key, sub = jax.random.split(key)
-                accs.append(_accuracy(jc(rand_k_points(sub, clouds, K)),
-                                      clabels, valid))
+                accs.append(_accuracy(jrand(sub, clouds, K), clabels, valid))
             rand_out["data"][K] = [float(np.mean(accs)), float(np.var(accs))]
             max_out["data"][K] = [
-                _accuracy(jc(top_k_points(clouds, K)), clabels, valid), 0]
+                _accuracy(jmax(clouds, K), clabels, valid), 0]
     elif mode == "replace":
-        jg = jax.jit(grid_classifier)
+        jrand = jax.jit(
+            lambda k2, fl, K: grid_classifier(
+                grid_top_k_replace(fl, K, flag="rand", key=k2)),
+            static_argnums=2)
+        jmax = jax.jit(
+            lambda fl, K: grid_classifier(grid_top_k_replace(fl, K, flag="max")),
+            static_argnums=1)
         for K in list_K:
             accs = []
             for r in range(nruns):
                 key, sub = jax.random.split(key)
-                rep = grid_top_k_replace(flat, K, flag="rand", key=sub)
-                accs.append(_accuracy(jg(rep), clabels, valid))
+                accs.append(_accuracy(jrand(sub, flat, K), clabels, valid))
             rand_out["data"][K] = [float(np.mean(accs)), float(np.var(accs))]
-            rep = grid_top_k_replace(flat, K, flag="max")
-            max_out["data"][K] = [_accuracy(jg(rep), clabels, valid), 0]
+            max_out["data"][K] = [_accuracy(jmax(flat, K), clabels, valid), 0]
     else:
         raise ValueError(f"mode must be 'cloud' or 'replace', got {mode!r}")
     return rand_out, max_out
@@ -371,22 +387,30 @@ def rebut_importance_expt(
         waves, lengths, labels, fsog=fsog, Nfft=Nfft, Ntemp=Ntemp, hf=hf, tDb=tDb
     )
     clouds = grid_cloud(flat, farr, tarr)
-    jc = jax.jit(cloud_classifier)
+    jheat = jax.jit(importance_heatmap, static_argnames=("win_f",))
+    jrand = jax.jit(
+        lambda c, h, K, k2: cloud_classifier(
+            importance_sample_cloud(c, h, K, choice=0, key=k2)),
+        static_argnums=2)
+    jmax = jax.jit(
+        lambda c, h, K: cloud_classifier(
+            importance_sample_cloud(c, h, K, choice=1)),
+        static_argnums=2)
     rand_out = {"data": {int(w): {} for w in list_winF}, "list_K": list_K}
     max_out = {"data": {int(w): {} for w in list_winF}, "list_K": list_K}
     key = jax.random.key(seed)
     for winF in list_winF:
-        heat = importance_heatmap(flat, win_f=int(winF))
+        heat = jheat(flat, win_f=int(winF))
         for K in list_K:
             accs = []
             for r in range(nruns):
                 key, sub = jax.random.split(key)
-                sel = importance_sample_cloud(clouds, heat, K, choice=0, key=sub)
-                accs.append(_accuracy(jc(sel), clabels, valid))
+                accs.append(_accuracy(jrand(clouds, heat, K, sub),
+                                      clabels, valid))
             rand_out["data"][int(winF)][K] = [float(np.mean(accs)),
                                               float(np.var(accs))]
-            sel = importance_sample_cloud(clouds, heat, K, choice=1)
-            max_out["data"][int(winF)][K] = [_accuracy(jc(sel), clabels, valid), 0]
+            max_out["data"][int(winF)][K] = [
+                _accuracy(jmax(clouds, heat, K), clabels, valid), 0]
     return rand_out, max_out
 
 
