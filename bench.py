@@ -5,13 +5,21 @@ STFT(1024) → log-mag → 10-frame temporal chunks → masked top-K point
 extraction → Set Transformer (3ST config: 64 inducing points, dim 64,
 8 heads, bf16 matmuls) → clip logits averaged over chunks.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} where
 vs_baseline is clips/sec/chip over the 10k-clips/sec/chip north-star target
-(BASELINE.json; the reference publishes no throughput numbers).
+(BASELINE.json; the reference publishes no throughput numbers).  The
+canonical headline config is **B=512, top-K 128, approx extraction
+(recall ≥ 0.99), bf16 spectrograms, fused Pallas ST** — the JSON also
+reports the exact-extraction number and per-stage timings so the two modes
+and the stage attribution are always visible side by side.
 
 Env knobs: PCAUDIO_BENCH_BATCH (default 512), PCAUDIO_BENCH_TOPK (default
-256), PCAUDIO_BENCH_ITERS (default 10), PCAUDIO_BENCH_FUSED (default 1 —
-use the fully-fused Pallas ST kernel).
+128), PCAUDIO_BENCH_ITERS (default 10), PCAUDIO_BENCH_FUSED (default 1 —
+the fully-fused Pallas ST kernel), PCAUDIO_BENCH_EXTRACTION (approx|exact),
+PCAUDIO_BENCH_STAGES (default 1 — also time featurize+extract / ST-forward
+and the other extraction mode), PCAUDIO_BENCH_MESH (default 1 — data-
+parallel over an N-device mesh via shard_map; >1 needs N devices, e.g. the
+8-virtual-CPU mesh used in tests).
 """
 import json
 import os
@@ -20,11 +28,42 @@ import time
 import numpy as np
 
 
+def _sync(x):
+    # On the tunneled axon platform block_until_ready can return before
+    # remote execution finishes; fetching a scalar reduction is a true
+    # sync with negligible transfer.
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x))
+
+
+def _time(fn, *args, iters):
+    _sync(fn(*args))  # warmup / compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
 def main():
     import jax
+
+    mesh_n = int(os.environ.get("PCAUDIO_BENCH_MESH", "1"))
+    if os.environ.get("PCAUDIO_BENCH_CPU", "0") == "1":
+        # correctness runs on the N-virtual-device CPU mesh (tests/CI): must
+        # happen before any backend touch, same recipe as __graft_entry__
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "--xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={max(mesh_n, 1)}"
+            ).strip()
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from pcaudio.eval import TemporalPipelineConfig, make_temporal_classifier
+    from pcaudio.eval.pipeline import extract_chunk_clouds
     from pcaudio.nn import ST
 
     B = int(os.environ.get("PCAUDIO_BENCH_BATCH", "512"))
@@ -34,47 +73,93 @@ def main():
     extraction = os.environ.get("PCAUDIO_BENCH_EXTRACTION", "approx")
     stft_precision = os.environ.get("PCAUDIO_BENCH_STFT_PRECISION", "default")
     compute_dtype = os.environ.get("PCAUDIO_BENCH_DTYPE", "bfloat16")
+    stages = os.environ.get("PCAUDIO_BENCH_STAGES", "1") == "1"
 
     fs = 44100
-    L = 220672  # 5 s ESC-50 clips, padded to a multiple of 1024
-    cfg = TemporalPipelineConfig(fs=fs, n_fft=1024, num_frames=10,
-                                 top_k=top_k, extraction=extraction,
-                                 stft_precision=stft_precision,
-                                 compute_dtype=compute_dtype)
+    # 5 s ESC-50 clips, padded to a multiple of 1024 (shrinkable for CI runs)
+    L = int(os.environ.get("PCAUDIO_BENCH_LEN", "220672"))
+
+    def make_cfg(extr):
+        return TemporalPipelineConfig(fs=fs, n_fft=1024, num_frames=10,
+                                      top_k=top_k, extraction=extr,
+                                      stft_precision=stft_precision,
+                                      compute_dtype=compute_dtype)
+
+    cfg = make_cfg(extraction)
     model = ST(dim_input=3, num_outputs=1, dim_output=10,
                num_inds=64, dim_hidden=64, num_heads=8, dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
     waves = (0.1 * rng.standard_normal((B, L))).astype(np.float32)
-    lengths = np.full((B,), 220500, np.int32)
+    lengths = np.full((B,), min(220500, L), np.int32)
     params = model.init(jax.random.key(0), jnp.zeros((1, 16, 3)))
 
-    fn = jax.jit(make_temporal_classifier(model, cfg, use_fused_st=fused))
+    base_fn = make_temporal_classifier(model, cfg, use_fused_st=fused)
+    if mesh_n > 1:
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        from pcaudio.parallel import make_mesh
+
+        mesh = make_mesh(n_data=mesh_n)
+        try:
+            smapped = shard_map(base_fn, mesh=mesh,
+                                in_specs=(P(), P("data"), P("data")),
+                                out_specs=P("data"), check_vma=False)
+        except TypeError:  # older shard_map spells it check_rep
+            smapped = shard_map(base_fn, mesh=mesh,
+                                in_specs=(P(), P("data"), P("data")),
+                                out_specs=P("data"), check_rep=False)
+        fn = jax.jit(smapped)
+    else:
+        fn = jax.jit(base_fn)
+
     dwaves = jax.device_put(jnp.asarray(waves))
     dlengths = jax.device_put(jnp.asarray(lengths))
 
-    def sync(x):
-        # On the tunneled axon platform block_until_ready can return before
-        # remote execution finishes; fetching a scalar reduction is a true
-        # sync with negligible transfer.
-        return float(jnp.sum(x))
+    dt = _time(fn, params, dwaves, dlengths, iters=iters)
+    clips_per_sec = B / dt
 
-    # warmup / compile
-    sync(fn(params, dwaves, dlengths))
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(params, dwaves, dlengths)
-    sync(out)
-    dt = time.perf_counter() - t0
-
-    clips_per_sec = B * iters / dt
-    print(json.dumps({
+    out = {
         "metric": "e2e_wave_to_class_throughput",
         "value": round(clips_per_sec, 1),
         "unit": "clips/sec/chip",
         "vs_baseline": round(clips_per_sec / 10000.0, 4),
-    }))
+        "config": {"batch": B, "top_k": top_k, "extraction": extraction,
+                   "fused_st": fused, "stft_precision": stft_precision,
+                   "compute_dtype": compute_dtype, "mesh": mesh_n},
+    }
+
+    if stages and mesh_n == 1:
+        # stage attribution + the other extraction mode, same shapes
+        jext = jax.jit(lambda w, l: extract_chunk_clouds(w, l, cfg).
+                       __getitem__(0).points)
+        ext_ms = _time(jext, dwaves, dlengths, iters=iters) * 1e3
+        cloud, _ = jax.jit(lambda w, l: extract_chunk_clouds(w, l, cfg))(
+            dwaves, dlengths)
+        pts = jax.device_put(cloud.points)
+        msk = jax.device_put(cloud.mask)
+        if fused:
+            from pcaudio.ops.kernels.fused_st import fused_st_forward
+
+            jst = jax.jit(lambda p, x, m: fused_st_forward(
+                p, x, m, num_heads=model.num_heads))
+        else:
+            jst = jax.jit(lambda p, x, m: model.apply(p, x, mask=m))
+        st_ms = _time(jst, params, pts, msk, iters=iters) * 1e3
+        other = "exact" if extraction == "approx" else "approx"
+        ofn = jax.jit(make_temporal_classifier(model, make_cfg(other),
+                                               use_fused_st=fused))
+        odt = _time(ofn, params, dwaves, dlengths, iters=iters)
+        out["stage_ms"] = {"featurize_extract": round(ext_ms, 1),
+                           "st_forward": round(st_ms, 1),
+                           "e2e": round(dt * 1e3, 1)}
+        out[f"{other}_clips_per_sec"] = round(B / odt, 1)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -19,6 +19,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from pcaudio.core.types import PointCloud
 from pcaudio.dsp.featurize import FeaturizeConfig, featurize_batch, batched_temporal_chunks
 from pcaudio.ops.cloud import freq_coords, grid_cloud, time_coords
 
@@ -61,11 +62,13 @@ class TemporalPipelineConfig:
 
 def extract_chunk_clouds(
     waves: Array, lengths: Array, cfg: TemporalPipelineConfig
-) -> Tuple[Array, Array, Array]:
+) -> Tuple[PointCloud, Array]:
     """waveforms → per-chunk temporal point clouds.
 
-    Returns ``(clouds [B, C, K, 3], point_mask [B, C, K], chunk_mask [B, C])``
-    where ``K = cfg.top_k or Nt·(n_fft//2)``.
+    Returns ``(cloud, chunk_mask [B, C])`` where ``cloud`` is a
+    :class:`~pcaudio.core.types.PointCloud` over the flattened chunk batch:
+    ``points [B·C, K, 3]``, ``mask [B·C, K]``, ``K = cfg.top_k or
+    Nt·(n_fft//2)`` — the shape every set-model consumer wants.
     """
     fcfg = cfg.featurize_config()
     logmag, frame_mask = featurize_batch(waves, lengths, fcfg)
@@ -100,11 +103,12 @@ def extract_chunk_clouds(
             vals, idx = jax.lax.top_k(mags, k)  # frequency-fastest flat idx
         clouds = jnp.stack([farr[idx % F].astype(vals.dtype),
                             tarr[idx // F].astype(vals.dtype), vals], axis=-1)
-        pmask = jnp.broadcast_to(chunk_mask[..., None], clouds.shape[:-1])
-        return clouds, pmask, chunk_mask
-    clouds = grid_cloud(chunks, farr, tarr)  # [B, C, Nt*F, 3]
-    pmask = jnp.broadcast_to(chunk_mask[..., None], clouds.shape[:-1])
-    return clouds, pmask, chunk_mask
+    else:
+        clouds = grid_cloud(chunks, farr, tarr)  # [B, C, Nt*F, 3]
+    K = clouds.shape[2]
+    pmask = jnp.broadcast_to(chunk_mask[:, :, None], (B, C, K))
+    return (PointCloud(points=clouds.reshape(B * C, K, 3),
+                       mask=pmask.reshape(B * C, K)), chunk_mask)
 
 
 def make_temporal_classifier(model, cfg: TemporalPipelineConfig,
@@ -118,26 +122,30 @@ def make_temporal_classifier(model, cfg: TemporalPipelineConfig,
     """
 
     def fn(params, waves: Array, lengths: Array) -> Array:
-        clouds, pmask, chunk_mask = extract_chunk_clouds(waves, lengths, cfg)
-        B, C, K, d = clouds.shape
-        if use_fused_st:
-            from pcaudio.ops.kernels.fused_st import fused_st_forward
-
-            logits = fused_st_forward(
-                params, clouds.reshape(B * C, K, d),
-                pmask.reshape(B * C, K), num_heads=model.num_heads,
-            ).reshape(B, C, -1)
-        else:
-            logits = model.apply(
-                params, clouds.reshape(B * C, K, d),
-                mask=pmask.reshape(B * C, K)
-            ).reshape(B, C, -1)
+        logits, chunk_mask = _chunk_logits(params, waves, lengths, model, cfg,
+                                           use_fused_st)
         w = chunk_mask[..., None].astype(logits.dtype)
         return jnp.sum(logits * w, axis=1) / jnp.maximum(
             jnp.sum(w, axis=1), jnp.asarray(1.0, logits.dtype)
         )
 
     return fn
+
+
+def _chunk_logits(params, waves, lengths, model, cfg, use_fused_st):
+    cloud, chunk_mask = extract_chunk_clouds(waves, lengths, cfg)
+    B, C = chunk_mask.shape
+    if use_fused_st:
+        from pcaudio.ops.kernels.fused_st import fused_st_forward
+
+        logits = fused_st_forward(
+            params, cloud.points, cloud.mask, num_heads=model.num_heads,
+        ).reshape(B, C, -1)
+    else:
+        logits = model.apply(
+            params, cloud.points, mask=cloud.mask
+        ).reshape(B, C, -1)
+    return logits, chunk_mask
 
 
 def make_chunk_logits(model, cfg: TemporalPipelineConfig,
@@ -147,20 +155,6 @@ def make_chunk_logits(model, cfg: TemporalPipelineConfig,
     (``Code/pc_temp3d_eval.py``)."""
 
     def fn(params, waves: Array, lengths: Array):
-        clouds, pmask, chunk_mask = extract_chunk_clouds(waves, lengths, cfg)
-        B, C, K, d = clouds.shape
-        if use_fused_st:
-            from pcaudio.ops.kernels.fused_st import fused_st_forward
-
-            logits = fused_st_forward(
-                params, clouds.reshape(B * C, K, d),
-                pmask.reshape(B * C, K), num_heads=model.num_heads,
-            ).reshape(B, C, -1)
-        else:
-            logits = model.apply(
-                params, clouds.reshape(B * C, K, d),
-                mask=pmask.reshape(B * C, K)
-            ).reshape(B, C, -1)
-        return logits, chunk_mask
+        return _chunk_logits(params, waves, lengths, model, cfg, use_fused_st)
 
     return fn

@@ -1,32 +1,46 @@
 """Fully-fused Set Transformer forward: the whole ST model in one Pallas
-kernel.
+kernel (production serving kernel, design v4).
 
-Why: at serving batch sizes the XLA path is bound by HBM round-trips of
+Why fused: at serving batch sizes the XLA path is bound by HBM round-trips of
 attention intermediates at ~150 GB/s effective (measured on v5e: softmax over
 a materialized ``[B·h·N, M]`` tensor alone costs more than all the matmul
 FLOPs).  This kernel keeps *every* intermediate of
 ``ISAB → ISAB → PMA → Dense`` (``Code/models.py:13-44``) in VMEM: HBM traffic
 collapses to the input clouds and the output logits.
 
-Design notes (measured on v5e, see SURVEY perf work):
-  * per-grid-step overhead ≈ 11 µs and chained small matmuls ≈ 0.1 µs each →
-    a block of samples per grid step, per-sample compute unrolled;
-  * MAB0/PMA queries are the *same learned inducing/seed vectors for every
-    sample* (``modules.py:46-63``), so their per-head QKᵀ collapses to ONE
-    matmul per sample against a precomputed block-diagonal query matrix
-    ``BD(q̂) [h·m, dv]`` (head h's rows only populate its feature block);
-    A·V is one ``[h·m, K]×[K, dv]`` matmul with head-block column selection;
-  * MAB1 (per-sample queries) keeps the per-head loop — 16 small matmuls at
-    ~0.1 µs each;
-  * math is exactly the reference MAB (scale 1/√dv, projected-Q residual,
-    single-ReLU rFF; ``modules.py:19-33``) — parity-tested against the XLA
-    path.
+Why this structure (measured on v5e; docs/PERFORMANCE.md): per-op overhead
+~0.1 µs dominates at these tiny model dims (dv=64, m=64, h=8), so the win is
+minimizing the *number* of ops per sample, not FLOPs.  The v2 kernel spent
+~75 ops per sample — 16 of them MAB1's per-head ``[K,8]×[8,m]`` matmuls.
+v4 (2.4x faster, 6.8 → 2.9 µs per 128-pt cloud) restructures:
 
-Forward-only (serving/eval); training uses the XLA path.
+  * **Symmetric block-diagonal attention.**  MAB0/PMA collapse their
+    per-head QKᵀ into one matmul because the inducing/seed queries are
+    batch-invariant (block-diagonal ``BD(q̂) [h·m, dv]``, precomputed on
+    host).  The same trick applies to MAB1 *per sample*: build
+    ``BD(q_s) [h·K, dv]`` in-kernel (head h's row block keeps only its
+    feature columns — one VPU mask-multiply), then
+
+        lg  = BD(q_s) · k_sᵀ        one [h·K, dv]×[dv, m] matmul
+        a   = row_softmax(lg)        plain row softmax, no head grouping
+        av  = a · v_s                one [h·K, m]×[m, dv] matmul
+        out = Σ_h (av.reshape(h, K, dv) ⊙ colmask)   head-sum, VPU
+
+    16 small matmuls + 8 softmaxes become 2 dense matmuls + 1 softmax + 2
+    VPU masks per sample.
+  * **Stage-wise block batching.**  All weight-shared projections and rFFs
+    run once per sample-*block* on stacked ``[bb·K, d]`` / ``[bb·m, d]``
+    tensors; the per-sample attention stages in between are Python-unrolled
+    (a ``fori_loop`` variant measured slower — per-iteration overhead eats
+    the savings).
+
+Math is exactly the reference MAB (scale 1/√dim_V, projected-Q residual,
+single-ReLU rFF; ``set_transformer-master/modules.py:19-33``) — parity-tested
+against the XLA path and the shipped torch checkpoints.  Forward-only
+(serving/eval); the training path uses XLA.
 """
 from __future__ import annotations
 
-import functools
 import math
 from typing import Any, Optional
 
@@ -38,114 +52,6 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 _MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
-
-
-def _softmax_rows(lg: Array, guard_empty: bool) -> Array:
-    mx = jnp.max(lg, axis=-1, keepdims=True)
-    p = jnp.exp(lg - mx)
-    if guard_empty:
-        p = jnp.where(lg <= _MASK_VALUE * 0.5, 0.0, p)
-        denom = jnp.sum(p, axis=-1, keepdims=True)
-        return p * jnp.where(denom == 0.0, 0.0,
-                             1.0 / jnp.where(denom == 0.0, 1.0, denom))
-    return p / jnp.sum(p, axis=-1, keepdims=True)
-
-
-def _head_colmask(h: int, dv: int, dtype=jnp.float32) -> Array:
-    """``[h, 1, dv]``: block h selects feature columns [h·dh, (h+1)·dh)."""
-    dh = dv // h
-    lane = jax.lax.broadcasted_iota(jnp.int32, (h, 1, dv), 2)
-    head = jax.lax.broadcasted_iota(jnp.int32, (h, 1, dv), 0)
-    return (lane // dh == head).astype(dtype)
-
-
-def _make_kernel(num_heads: int, dv: int, num_inds: int, ncls: int,
-                 block_b: int):
-    h, m = num_heads, num_inds
-    dh = dv // h
-    scale = 1.0 / math.sqrt(dv)
-
-    def mab0(iq_bd, iq, x, maskbias, Wk, bk, Wv, bv, Wo, bo, guard):
-        # keys/values from the (masked) set; queries shared across batch.
-        k = jnp.dot(x, Wk, preferred_element_type=jnp.float32) + bk  # [K, dv]
-        v = jnp.dot(x, Wv, preferred_element_type=jnp.float32) + bv
-        lg = jax.lax.dot_general(
-            iq_bd, k.astype(iq_bd.dtype),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale                                             # [h*m, K]
-        if maskbias is not None:
-            lg = lg + maskbias
-        a = _softmax_rows(lg, guard_empty=guard)
-        av = jnp.dot(a.astype(v.dtype), v,
-                     preferred_element_type=jnp.float32)       # [h*m, dv]
-        sel = jnp.sum(av.reshape(h, -1, dv) * _head_colmask(h, dv), axis=0)
-        o = iq + sel                                           # [m, dv]
-        o = o + jnp.maximum(
-            jnp.dot(o.astype(Wo.dtype), Wo,
-                    preferred_element_type=jnp.float32) + bo, 0.0)
-        return o
-
-    def mab1(x, H, Wq, bq, Wk, bk, Wv, bv, Wo, bo):
-        q = jnp.dot(x, Wq, preferred_element_type=jnp.float32) + bq  # [K, dv]
-        k = jnp.dot(H, Wk, preferred_element_type=jnp.float32) + bk  # [m, dv]
-        v = jnp.dot(H, Wv, preferred_element_type=jnp.float32) + bv
-        outs = []
-        qb = q.astype(jnp.bfloat16)
-        kb = k.astype(jnp.bfloat16)
-        vb = v.astype(jnp.bfloat16)
-        for i in range(h):
-            sl = slice(i * dh, (i + 1) * dh)
-            lg = jax.lax.dot_general(
-                qb[:, sl], kb[:, sl],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale                                          # [K, m]
-            a = _softmax_rows(lg, guard_empty=False)
-            outs.append(jnp.dot(a.astype(jnp.bfloat16), vb[:, sl],
-                                preferred_element_type=jnp.float32))
-        o = q + jnp.concatenate(outs, axis=-1)
-        o = o + jnp.maximum(
-            jnp.dot(o.astype(Wo.dtype), Wo,
-                    preferred_element_type=jnp.float32) + bo, 0.0)
-        return o
-
-    def kernel(points_ref, maskbias_ref,
-               # isab1
-               i1_bd, i1, k10w, k10b, v10w, v10b, o10w, o10b,
-               q11w, q11b, k11w, k11b, v11w, v11b, o11w, o11b,
-               # isab2
-               i2_bd, i2, k20w, k20b, v20w, v20b, o20w, o20b,
-               q21w, q21b, k21w, k21b, v21w, v21b, o21w, o21b,
-               # pma
-               s_bd, s_dense, kpw, kpb, vpw, vpb, opw, opb,
-               # dec
-               dw, db,
-               out_ref):
-        for s in range(block_b):
-            x = points_ref[s].astype(jnp.bfloat16)             # [K, din]
-            mb = maskbias_ref[s][None, :]                      # [1, K]
-            H1 = mab0(i1_bd[...], i1[...], x, mb,
-                      k10w[...], k10b[...], v10w[...], v10b[...],
-                      o10w[...], o10b[...], guard=True)
-            x1 = mab1(x, H1.astype(jnp.bfloat16),
-                      q11w[...], q11b[...], k11w[...], k11b[...],
-                      v11w[...], v11b[...], o11w[...], o11b[...])
-            x1b = x1.astype(jnp.bfloat16)
-            H2 = mab0(i2_bd[...], i2[...], x1b, mb,
-                      k20w[...], k20b[...], v20w[...], v20b[...],
-                      o20w[...], o20b[...], guard=True)
-            x2 = mab1(x1b, H2.astype(jnp.bfloat16),
-                      q21w[...], q21b[...], k21w[...], k21b[...],
-                      v21w[...], v21b[...], o21w[...], o21b[...])
-            P = mab0(s_bd[...], s_dense[...], x2.astype(jnp.bfloat16), mb,
-                     kpw[...], kpb[...], vpw[...], vpb[...],
-                     opw[...], opb[...], guard=True)           # [1, dv]
-            out_ref[s] = (jnp.dot(P.astype(dw.dtype), dw[...],
-                                  preferred_element_type=jnp.float32)
-                          + db[...])[0]
-
-    return kernel
 
 
 def _bd_queries(q_hat: Array, num_heads: int) -> Array:
@@ -166,12 +72,148 @@ def _dense_wb(p, dtype):
 
 
 def _mab_weights(p, dtype):
-    """(Wk,bk,Wv,bv,Wo,bo) + (Wq,bq) from a MAB param dict."""
+    """(Wq,bq,Wk,bk,Wv,bv,Wo,bo) from a MAB param dict."""
     wq, bq = _dense_wb(p["fc_q"], dtype)
     wk, bk = _dense_wb(p["fc_k"], dtype)
     wv, bv = _dense_wb(p["fc_v"], dtype)
     wo, bo = _dense_wb(p["fc_o"], dtype)
     return (wq, bq, wk, bk, wv, bv, wo, bo)
+
+
+def _make_kernel(num_heads: int, dv: int, num_inds: int, din: int,
+                 ncls: int, block_b: int, K: int):
+    h, m, bb = num_heads, num_inds, block_b
+    dh = dv // h
+    scale = 1.0 / math.sqrt(dv)
+
+    def colmask():
+        # generated in-kernel (a captured constant would need an input slot)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (h, 1, dv), 2)
+        head = jax.lax.broadcasted_iota(jnp.int32, (h, 1, dv), 0)
+        return (lane // dh == head).astype(jnp.float32)
+
+    def softmax_rows(lg, guard):
+        mx = jnp.max(lg, axis=-1, keepdims=True)
+        p = jnp.exp(lg - mx)
+        if guard:
+            p = jnp.where(lg <= _MASK_VALUE * 0.5, 0.0, p)
+            denom = jnp.sum(p, axis=-1, keepdims=True)
+            return p * jnp.where(denom == 0.0, 0.0,
+                                 1.0 / jnp.where(denom == 0.0, 1.0, denom))
+        return p / jnp.sum(p, axis=-1, keepdims=True)
+
+    def bd_rows(q):
+        """[rows, dv] → block-diagonal [h·rows, dv] (bf16)."""
+        rows = q.shape[0]
+        return (q[None, :, :] * colmask()).reshape(h * rows, dv).astype(
+            jnp.bfloat16)
+
+    def head_sum(av, rows):
+        """[h·rows, dv] → [rows, dv]: keep head h's feature block, sum."""
+        return jnp.sum(av.reshape(h, rows, dv) * colmask(), axis=0)
+
+    def mab0_attend(iq_bd, iq, k_s, v_s, maskbias_s):
+        """Shared-query attention for one sample (ISAB's MAB0 / PMA).
+
+        iq_bd [h·mq, dv] bf16 precomputed BD queries; iq [mq, dv] f32.
+        k_s/v_s [K, dv] bf16.  Returns pre-rFF residual o [mq, dv] f32.
+        Guarded softmax: a fully-masked cloud yields zeros, not NaN.
+        """
+        lg = jax.lax.dot_general(
+            iq_bd, k_s, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale       # [h·mq, K]
+        lg = lg + maskbias_s
+        a = softmax_rows(lg, guard=True)
+        av = jnp.dot(a.astype(jnp.bfloat16), v_s,
+                     preferred_element_type=jnp.float32)       # [h·mq, dv]
+        return iq + head_sum(av, iq.shape[0])
+
+    def mab1_attend(q_s, k_s, v_s):
+        """Per-sample-query attention (ISAB's MAB1) via the BD(q) trick.
+
+        q_s [K, dv] f32; k_s/v_s [m, dv] bf16.  Returns o [K, dv] f32.
+        No mask: masked points' MAB1 outputs are garbage but every consumer
+        (next MAB0 / PMA) masks them out again.
+        """
+        lg = jax.lax.dot_general(
+            bd_rows(q_s), k_s, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale        # [h·K, m]
+        a = softmax_rows(lg, guard=False)
+        av = jnp.dot(a.astype(jnp.bfloat16), v_s,
+                     preferred_element_type=jnp.float32)       # [h·K, dv]
+        return q_s + head_sum(av, K)
+
+    def rff_block(o, Wo, bo):
+        """Block-stacked rFF residual: o + relu(o·Wo + bo)."""
+        return o + jnp.maximum(
+            jnp.dot(o.astype(jnp.bfloat16), Wo,
+                    preferred_element_type=jnp.float32) + bo, 0.0)
+
+    def isab_block(x_blk, maskbias, iq_bd, iq, k0w, k0b, v0w, v0b, o0w, o0b,
+                   q1w, q1b, k1w, k1b, v1w, v1b, o1w, o1b):
+        """One ISAB over the whole block: x_blk [bb·K, dv_in] bf16 →
+        [bb·K, dv] f32."""
+        # MAB0 keys/values, block-batched.
+        kb = (jnp.dot(x_blk, k0w, preferred_element_type=jnp.float32)
+              + k0b).astype(jnp.bfloat16)                      # [bb·K, dv]
+        vb = (jnp.dot(x_blk, v0w, preferred_element_type=jnp.float32)
+              + v0b).astype(jnp.bfloat16)
+        o0 = []
+        for s in range(bb):
+            sl = slice(s * K, (s + 1) * K)
+            o0.append(mab0_attend(iq_bd, iq, kb[sl], vb[sl],
+                                  maskbias[s][None, :]))
+        H = rff_block(jnp.concatenate(o0, axis=0), o0w, o0b)   # [bb·m, dv]
+        # MAB1 projections, block-batched.
+        qb = jnp.dot(x_blk, q1w, preferred_element_type=jnp.float32) + q1b
+        Hb = H.astype(jnp.bfloat16)
+        k1 = (jnp.dot(Hb, k1w, preferred_element_type=jnp.float32)
+              + k1b).astype(jnp.bfloat16)                      # [bb·m, dv]
+        v1 = (jnp.dot(Hb, v1w, preferred_element_type=jnp.float32)
+              + v1b).astype(jnp.bfloat16)
+        o1 = []
+        for s in range(bb):
+            slk = slice(s * K, (s + 1) * K)
+            slm = slice(s * m, (s + 1) * m)
+            o1.append(mab1_attend(qb[slk], k1[slm], v1[slm]))
+        return rff_block(jnp.concatenate(o1, axis=0), o1w, o1b)
+
+    def kernel(points_ref, maskbias_ref,
+               i1_bd, i1, k10w, k10b, v10w, v10b, o10w, o10b,
+               q11w, q11b, k11w, k11b, v11w, v11b, o11w, o11b,
+               i2_bd, i2, k20w, k20b, v20w, v20b, o20w, o20b,
+               q21w, q21b, k21w, k21b, v21w, v21b, o21w, o21b,
+               s_bd, s_dense, kpw, kpb, vpw, vpb, opw, opb,
+               dw, db,
+               out_ref):
+        x = points_ref[:].reshape(bb * K, din).astype(jnp.bfloat16)
+        mb = maskbias_ref[:]
+        x1 = isab_block(x, mb, i1_bd[...], i1[...],
+                        k10w[...], k10b[...], v10w[...], v10b[...],
+                        o10w[...], o10b[...],
+                        q11w[...], q11b[...], k11w[...], k11b[...],
+                        v11w[...], v11b[...], o11w[...], o11b[...])
+        x2 = isab_block(x1.astype(jnp.bfloat16), mb, i2_bd[...], i2[...],
+                        k20w[...], k20b[...], v20w[...], v20b[...],
+                        o20w[...], o20b[...],
+                        q21w[...], q21b[...], k21w[...], k21b[...],
+                        v21w[...], v21b[...], o21w[...], o21b[...])
+        # PMA over the final clouds, block-batched projections.
+        x2b = x2.astype(jnp.bfloat16)
+        kp = (jnp.dot(x2b, kpw[...], preferred_element_type=jnp.float32)
+              + kpb[...]).astype(jnp.bfloat16)
+        vp = (jnp.dot(x2b, vpw[...], preferred_element_type=jnp.float32)
+              + vpb[...]).astype(jnp.bfloat16)
+        ps = []
+        for s in range(bb):
+            sl = slice(s * K, (s + 1) * K)
+            ps.append(mab0_attend(s_bd[...], s_dense[...], kp[sl], vp[sl],
+                                  mb[s][None, :]))
+        P = rff_block(jnp.concatenate(ps, axis=0), opw[...], opb[...])
+        out_ref[:] = (jnp.dot(P.astype(jnp.bfloat16), dw[...],
+                              preferred_element_type=jnp.float32) + db[...])
+
+    return kernel
 
 
 def fused_st_forward(
@@ -180,10 +222,14 @@ def fused_st_forward(
     mask: Optional[Array],
     *,
     num_heads: int,
-    block_b: int = 16,
+    block_b: int = 8,
     interpret: Optional[bool] = None,
 ) -> Array:
     """ST forward via the fused kernel.
+
+    ``block_b`` — samples per grid step (sublane tiling needs a multiple of
+    8).  Measured at serving shapes (5504×128-pt clouds, v5e): 8 → 2.67,
+    16 → 2.89, 32 → 3.22 µs/cloud.
 
     Args:
       params: flax params of :class:`pcaudio.nn.ST` (``num_outputs=1``,
@@ -198,7 +244,7 @@ def fused_st_forward(
 
     def isab_weights(ip):
         I = ip["I"][0]                                   # [m, dv]
-        wq0, bq0, *kv0 = _mab_weights(ip["mab0"], dtype)
+        _, _, *kv0 = _mab_weights(ip["mab0"], dtype)
         iq = I.astype(jnp.float32) @ ip["mab0"]["fc_q"]["kernel"] + \
             ip["mab0"]["fc_q"]["bias"]                   # [m, dv] projected
         wq1, bq1, wk1, bk1, wv1, bv1, wo1, bo1 = _mab_weights(ip["mab1"], dtype)
@@ -234,12 +280,9 @@ def fused_st_forward(
         maskbias = jnp.pad(maskbias, ((0, pad_b), (0, 0)))
     Bp = B + pad_b
 
-    kernel = _make_kernel(num_heads, dv, m, ncls, block_b)
+    kernel = _make_kernel(num_heads, dv, m, din, ncls, block_b, K)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-
-    def const_spec(_):
-        return pl.BlockSpec(memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         kernel,
@@ -251,11 +294,14 @@ def fused_st_forward(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, K), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-        ] + [const_spec(x) for x in w],
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in w],
         out_specs=pl.BlockSpec((block_b, ncls), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),  # megacore: independent blocks
+            # Mosaic's default scoped-VMEM limit is 16MB; the stage-wise block
+            # stacks exceed it for block_b > 16 (v5e has 128MB physical).
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
     )(points, maskbias, *w)
     return out[:B]

@@ -131,7 +131,12 @@ class AudioClassifier:
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        pending = []  # async device results; collected at the end
+        # Keep a small in-flight window of async device results: enough that
+        # the host never blocks on the device between dispatches, bounded so
+        # device buffers don't accumulate with the length of the path list.
+        window: List = []
+        done: List[np.ndarray] = []
+        MAX_IN_FLIGHT = 4
         while True:
             item = q.get()
             if item is None:
@@ -140,8 +145,12 @@ class AudioClassifier:
                 raise item
             waves, lengths, n = item
             out = self._fn(self.params, jnp.asarray(waves), jnp.asarray(lengths))
-            pending.append((out, n))  # dispatch is async; don't block here
+            window.append((out, n))  # dispatch is async; don't block here
+            if len(window) > MAX_IN_FLIGHT:
+                o, m = window.pop(0)
+                done.append(np.asarray(o)[:m])
         t.join()
-        lg = np.concatenate([np.asarray(o)[:n] for o, n in pending], axis=0)
+        done.extend(np.asarray(o)[:n] for o, n in window)
+        lg = np.concatenate(done, axis=0)
         probs = np.asarray(jax.nn.softmax(jnp.asarray(lg), axis=-1))
         return np.argmax(lg, axis=-1), probs

@@ -41,19 +41,19 @@ def test_fused_st_fst_config_shapes():
                                atol=5e-2, rtol=5e-2)
 
 
-def test_fused_st_v3_matches_model():
-    """v3 (block-batched, experimental) parity on CPU interpret mode."""
-    from pcaudio.ops.kernels.fused_st_v3 import fused_st_forward_v3
-
+def test_fused_st_all_masked_rows_finite():
+    """Fully-masked clouds (padded chunks) must yield finite logits."""
     rng = np.random.default_rng(2)
     model = ST(dim_input=3, dim_output=10, num_inds=8, dim_hidden=16,
                num_heads=4)
     params = model.init(jax.random.key(0), jnp.zeros((1, 8, 3)))
-    B, K = 5, 32
+    B, K = 4, 32
     pts = jnp.asarray(rng.standard_normal((B, K, 3)).astype(np.float32))
-    counts = np.array([32, 20, 10, 3, 1])
-    mask = jnp.asarray(np.arange(K)[None, :] < counts[:, None])
+    mask = jnp.asarray(np.array([[True] * K, [False] * K,
+                                 [True] * K, [False] * K]))
+    got = fused_st_forward(params, pts, mask, num_heads=4, block_b=2)
+    assert np.all(np.isfinite(np.asarray(got)))
+    # the valid rows still match the XLA path
     ref = model.apply(params, pts, mask=mask)
-    got = fused_st_forward_v3(params, pts, mask, num_heads=4, block_b=5)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               atol=5e-2, rtol=5e-2)
+    np.testing.assert_allclose(np.asarray(got)[[0, 2]],
+                               np.asarray(ref)[[0, 2]], atol=5e-2, rtol=5e-2)

@@ -27,7 +27,7 @@ def test_fused_extraction_matches_unfused():
     waves, lengths = _waves()
     cfg = TemporalPipelineConfig(fs=44100, n_fft=1024, num_frames=10,
                                  top_k=64, trim=False)
-    clouds, pmask, cmask = jax.jit(
+    cloud, cmask = jax.jit(
         lambda w, l: extract_chunk_clouds(w, l, cfg)
     )(waves, lengths)
 
@@ -42,7 +42,9 @@ def test_fused_extraction_matches_unfused():
 
     vc = np.asarray(cmask)
     np.testing.assert_array_equal(vc, np.asarray(cm))
-    got, want = np.asarray(clouds)[vc], np.asarray(ref)[vc]
+    B, C = vc.shape
+    got = np.asarray(cloud.points).reshape(B, C, 64, 3)[vc]
+    want = np.asarray(ref)[vc]
     np.testing.assert_allclose(got, want, rtol=1e-6)
 
 
@@ -77,16 +79,16 @@ def test_extraction_modes_consistent():
     waves, lengths = _waves()
     base = TemporalPipelineConfig(fs=44100, n_fft=1024, num_frames=10,
                                   top_k=64, trim=False)
-    exact, _, cm = extract_chunk_clouds(waves, lengths, base)
-    flatc, _, _ = extract_chunk_clouds(
+    exact, cm = extract_chunk_clouds(waves, lengths, base)
+    flatc, _ = extract_chunk_clouds(
         waves, lengths, dataclasses.replace(base, extraction="flat"))
-    vc = np.asarray(cm)
-    a = np.sort(np.asarray(exact)[vc][..., 2], axis=-1)
-    b = np.sort(np.asarray(flatc)[vc][..., 2], axis=-1)
+    vc = np.asarray(cm).reshape(-1)
+    a = np.sort(np.asarray(exact.points)[vc][..., 2], axis=-1)
+    b = np.sort(np.asarray(flatc.points)[vc][..., 2], axis=-1)
     np.testing.assert_allclose(a, b, rtol=1e-6)
-    approx, _, _ = extract_chunk_clouds(
+    approx, _ = extract_chunk_clouds(
         waves, lengths, dataclasses.replace(base, extraction="approx"))
-    av = np.sort(np.asarray(approx)[vc][..., 2], axis=-1)
+    av = np.sort(np.asarray(approx.points)[vc][..., 2], axis=-1)
     # approx mode selects under bf16 ordering (ties at the boundary may
     # differ on noise inputs) and returns bf16-rounded magnitudes: check the
     # selected mass matches the exact selection closely
