@@ -79,11 +79,14 @@ def main():
     # 5 s ESC-50 clips, padded to a multiple of 1024 (shrinkable for CI runs)
     L = int(os.environ.get("PCAUDIO_BENCH_LEN", "220672"))
 
+    featurize = os.environ.get("PCAUDIO_BENCH_FEATURIZE", "fused")
+
     def make_cfg(extr):
         return TemporalPipelineConfig(fs=fs, n_fft=1024, num_frames=10,
                                       top_k=top_k, extraction=extr,
                                       stft_precision=stft_precision,
-                                      compute_dtype=compute_dtype)
+                                      compute_dtype=compute_dtype,
+                                      featurize=featurize)
 
     cfg = make_cfg(extraction)
     model = ST(dim_input=3, num_outputs=1, dim_output=10,
@@ -129,7 +132,8 @@ def main():
         "unit": "clips/sec/chip",
         "vs_baseline": round(clips_per_sec / 10000.0, 4),
         "config": {"batch": B, "top_k": top_k, "extraction": extraction,
-                   "fused_st": fused, "stft_precision": stft_precision,
+                   "featurize": featurize, "fused_st": fused,
+                   "stft_precision": stft_precision,
                    "compute_dtype": compute_dtype, "mesh": mesh_n},
     }
 

@@ -45,6 +45,17 @@ class TemporalPipelineConfig:
     # when K ≤ bins — provably identical set, ~30%% faster than a flat sort);
     # "approx": jax.lax.approx_max_k on bf16 keys (~2.7x faster, recall ≥0.99)
     extraction: str = "exact"
+    # "fused": the Pallas wave→|STFT|² kernel (one HBM read, selection on
+    # squared magnitudes, log only on the K winners); "xla": the jit chain.
+    # Fused requires top_k set, no resampling, and the standard hop.
+    featurize: str = "xla"
+    # approx-mode recall target.  At K=128-of-5120 the XLA PartialReduce
+    # cannot reduce at 0.99 (needs ~K/(1−recall) > 5120 candidates) and
+    # degenerates to a full exact top-k (68 ms at serving batch); 0.95
+    # actually reduces (28 ms).  The paper's own subsampling results
+    # (``Code/paper_plots/*_expt2.json``) show accuracy is insensitive to
+    # far larger selection perturbations than a 5% recall miss.
+    approx_recall: float = 0.95
 
     def featurize_config(self) -> FeaturizeConfig:
         return FeaturizeConfig(
@@ -70,6 +81,8 @@ def extract_chunk_clouds(
     ``points [B·C, K, 3]``, ``mask [B·C, K]``, ``K = cfg.top_k or
     Nt·(n_fft//2)`` — the shape every set-model consumer wants.
     """
+    if cfg.featurize == "fused":
+        return _extract_fused(waves, lengths, cfg)
     fcfg = cfg.featurize_config()
     logmag, frame_mask = featurize_batch(waves, lengths, fcfg)
     chunks, chunk_mask = batched_temporal_chunks(
@@ -90,7 +103,7 @@ def extract_chunk_clouds(
             # bf16 keys AND bf16 selected magnitudes (the f32 re-gather costs
             # more than the selection itself at serving batch sizes)
             bvals, idx = jax.lax.approx_max_k(
-                mags.astype(jnp.bfloat16), k, recall_target=0.99)
+                mags.astype(jnp.bfloat16), k, recall_target=cfg.approx_recall)
             vals = bvals.astype(mags.dtype)
         elif cfg.extraction == "exact" and k <= F:
             # per-frame top-k (a frame contributes at most k of the global
@@ -101,14 +114,66 @@ def extract_chunk_clouds(
             idx = jnp.take_along_axis(flat_i.reshape(B, C, Nt * k), i2, axis=-1)
         else:
             vals, idx = jax.lax.top_k(mags, k)  # frequency-fastest flat idx
-        clouds = jnp.stack([farr[idx % F].astype(vals.dtype),
-                            tarr[idx // F].astype(vals.dtype), vals], axis=-1)
+        # farr/tarr are linspace grids, so the coordinate lookup is affine in
+        # the index — computed directly instead of gathering from the tables
+        # (table gathers of ~3M indices measured ~20 ms at serving batch).
+        cf = jnp.asarray(0.5 / (F - 1), vals.dtype)           # farr lane step
+        ct = jnp.asarray(
+            (cfg.hop_factor * cfg.n_fft / eff_fs) * Nt / (Nt - 1), vals.dtype)
+        clouds = jnp.stack([(idx % F).astype(vals.dtype) * cf,
+                            (idx // F).astype(vals.dtype) * ct, vals], axis=-1)
     else:
         clouds = grid_cloud(chunks, farr, tarr)  # [B, C, Nt*F, 3]
     K = clouds.shape[2]
     pmask = jnp.broadcast_to(chunk_mask[:, :, None], (B, C, K))
     return (PointCloud(points=clouds.reshape(B * C, K, 3),
                        mask=pmask.reshape(B * C, K)), chunk_mask)
+
+
+def _extract_fused(waves: Array, lengths: Array,
+                   cfg: TemporalPipelineConfig) -> Tuple[PointCloud, Array]:
+    """Fused-kernel extraction: Pallas wave→|STFT|² + top-K on squared
+    magnitudes (monotonic in log-magnitude) + winner-only log/normalize."""
+    from pcaudio.ops.kernels.featurize import fused_chunk_mag2
+
+    assert cfg.top_k is not None, "fused featurize needs a top-K budget"
+    assert cfg.target_fs is None and cfg.hop_factor == 0.5 and \
+        cfg.win_length in (None, cfg.n_fft), \
+        "fused featurize covers the serving config; use featurize='xla'"
+    approx = cfg.extraction == "approx"
+    cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    m2, chunk_mask = fused_chunk_mag2(
+        waves, lengths, n_fft=cfg.n_fft, num_frames=cfg.num_frames,
+        trim=cfg.trim, top_db=cfg.top_db,
+        out_dtype=jnp.bfloat16 if approx else jnp.float32,
+        compute_dtype=(jnp.float32 if cfg.stft_precision == "highest"
+                       else jnp.bfloat16),
+    )
+    B, C, Nt, F = m2.shape
+    mags = m2.reshape(B, C, Nt * F)
+    k = cfg.top_k
+    if approx:
+        vals2, idx = jax.lax.approx_max_k(mags, k,
+                                          recall_target=cfg.approx_recall)
+    elif k <= F:
+        v1, i1 = jax.lax.top_k(m2.reshape(B, C, Nt, F), k)
+        flat_i = i1 + jnp.arange(Nt)[None, None, :, None] * F
+        vals2, i2 = jax.lax.top_k(v1.reshape(B, C, Nt * k), k)
+        idx = jnp.take_along_axis(flat_i.reshape(B, C, Nt * k), i2, axis=-1)
+    else:
+        vals2, idx = jax.lax.top_k(mags, k)
+    # log-magnitude point values, winners only (f32 transcendental on K
+    # points instead of the whole spectrogram)
+    vals = jnp.log(1.0e-8 + jnp.sqrt(vals2.astype(jnp.float32)) / cfg.n_fft
+                   ).astype(cdt)
+    cf = jnp.asarray(0.5 / (F - 1), cdt)
+    ct = jnp.asarray(
+        (cfg.hop_factor * cfg.n_fft / cfg.fs) * Nt / (Nt - 1), cdt)
+    clouds = jnp.stack([(idx % F).astype(cdt) * cf,
+                        (idx // F).astype(cdt) * ct, vals], axis=-1)
+    pmask = jnp.broadcast_to(chunk_mask[:, :, None], (B, C, k))
+    return (PointCloud(points=clouds.reshape(B * C, k, 3),
+                       mask=pmask.reshape(B * C, k)), chunk_mask)
 
 
 def make_temporal_classifier(model, cfg: TemporalPipelineConfig,

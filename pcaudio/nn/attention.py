@@ -72,7 +72,8 @@ class MAB(nn.Module):
     num_heads: int
     ln: bool = False
     dtype: Optional[jnp.dtype] = None
-    fused_attn: bool = False  # forward-only Pallas kernel (serving/eval)
+    # Pallas attention kernels (fwd + custom-VJP bwd) — trainable
+    fused_attn: bool = False
 
     @nn.compact
     def __call__(self, Q: Array, K: Array, key_mask: Optional[Array] = None) -> Array:

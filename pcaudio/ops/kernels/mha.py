@@ -1,22 +1,33 @@
-"""Fused masked multi-head set-attention Pallas kernel.
+"""Fused masked multi-head set-attention Pallas kernels — forward AND
+backward (``jax.custom_vjp``), so ``MAB(fused_attn=True)`` is trainable.
 
 The XLA path materializes the per-head logits tensor ``[B, h, N, M]`` in HBM
 (~3 GB per MAB at serving batch sizes) and re-reads it for softmax and A·V —
-measured HBM-bound at ~100 GB traffic per ST forward on v5e.  This kernel
-computes ``softmax(Q·Kᵀ/√dv + mask)·V`` entirely in VMEM, one block of
-samples per grid step: the logits tile never leaves the chip.
+measured HBM-bound on v5e.  These kernels keep the logits/probability tiles
+in VMEM; HBM traffic collapses to q/k/v(/g) and the outputs.
 
-Set sizes here are small (M ≤ 5120, typically 64-1024), so the whole K/V of a
-sample fits in VMEM and no online-softmax tiling is needed — this is the
-"small-set" regime of the flash-attention design space.
+Design (same cost model as the fused-ST kernel, ``fused_st.py``): per-op
+overhead dominates at tiny head dims, so per-head small matmuls are collapsed
+into dense ones with the block-diagonal trick —
+
+    lg  = BD(q)·kᵀ·scale + bias     BD(q) [h·N, dv]: head h's rows keep only
+    a   = row_softmax(lg)           its feature columns (one VPU mask-mul)
+    out = Σ_h (a·v).reshape(h,N,dv) ⊙ colmask
+
+and the backward pass reuses the same layout (probabilities recomputed in
+VMEM, flash-style — no residual attention tensor):
+
+    da  = BD(g)·vᵀ                  dlg = a ⊙ (da − rowsum(da ⊙ a)) · scale
+    dq  = Σ_h head-block of dlg·k   dk = dlgᵀ·BD(q)      dv = aᵀ·BD(g)
+
+Queries are tiled over the grid (``tile_n``) so training-size sets
+(N = 1025 points, ``Code/settransformer.py``) fit VMEM; dk/dv accumulate
+across query tiles in the output blocks.
 
 Semantics exactly match :func:`pcaudio.nn.attention.masked_softmax` +
 reference MAB math (``set_transformer-master/modules.py:19-29``): scale
 ``1/√dim_V`` (not per-head), key-mask → −0.7·f32max before softmax,
-all-masked rows produce zeros.
-
-Differentiation: use the XLA path for training; this kernel is forward-only
-(serving / eval), selected via ``MAB(fused_attn=True)``.
+all-masked rows produce zeros (and therefore zero gradients).
 """
 from __future__ import annotations
 
@@ -33,36 +44,218 @@ Array = jax.Array
 _MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, num_heads, scale,
+def _colmask(h: int, dv: int):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (h, 1, dv), 2)
+    head = jax.lax.broadcasted_iota(jnp.int32, (h, 1, dv), 0)
+    return (lane // (dv // h) == head).astype(jnp.float32)
+
+
+def _bd(x, h: int):
+    """[rows, dv] → block-diagonal [h·rows, dv] bf16."""
+    rows, dv = x.shape
+    return (x[None, :, :] * _colmask(h, dv)).reshape(h * rows, dv).astype(
+        jnp.bfloat16)
+
+
+def _head_sum(x, h: int, rows: int, dv: int):
+    return jnp.sum(x.reshape(h, rows, dv) * _colmask(h, dv), axis=0)
+
+
+def _probs(q, k, bias, h, scale):
+    """Guarded attention probabilities [h·N, M] for one sample tile."""
+    lg = jax.lax.dot_general(
+        _bd(q, h), k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale + bias
+    mx = jnp.max(lg, axis=-1, keepdims=True)
+    p = jnp.exp(lg - mx)
+    p = jnp.where(lg <= _MASK_VALUE * 0.5, 0.0, p)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    return p * jnp.where(denom == 0.0, 0.0,
+                         1.0 / jnp.where(denom == 0.0, 1.0, denom))
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, num_heads, scale,
                 block_b):
-    dv = q_ref.shape[-1]
-    dh = dv // num_heads
+    h = num_heads
+    tn, dv = q_ref.shape[-2], q_ref.shape[-1]
     for s in range(block_b):
-        qs = q_ref[s]          # [N, dv]
-        ks = k_ref[s]          # [M, dv]
-        vs = v_ref[s]          # [M, dv]
-        m = mask_ref[s]        # [M] (float: 1 valid, 0 pad)
-        bias = jnp.where(m > 0, 0.0, _MASK_VALUE)[None, :]  # [1, M]
-        outs = []
-        for h in range(num_heads):
-            sl = slice(h * dh, (h + 1) * dh)
-            logits = jax.lax.dot_general(
-                qs[:, sl], ks[:, sl],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale + bias                               # [N, M]
-            mx = jnp.max(logits, axis=-1, keepdims=True)
-            p = jnp.exp(logits - mx) * (m[None, :] > 0)
-            denom = jnp.sum(p, axis=-1, keepdims=True)
-            p = p * jnp.where(denom == 0.0, 0.0, 1.0 / jnp.where(denom == 0.0, 1.0, denom))
-            outs.append(
-                jax.lax.dot_general(
-                    p.astype(vs.dtype), vs[:, sl],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            )                                              # [N, dh]
-        o_ref[s] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+        bias = jnp.where(mask_ref[s] > 0, 0.0, _MASK_VALUE)[None, :]
+        a = _probs(q_ref[s].astype(jnp.float32), k_ref[s].astype(jnp.bfloat16),
+                   bias, h, scale)
+        av = jnp.dot(a.astype(jnp.bfloat16), v_ref[s].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)     # [h·tn, dv]
+        o_ref[s] = _head_sum(av, h, tn, dv).astype(o_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref,
+                dq_ref, dk_ref, dv_ref, *, num_heads, scale, block_b):
+    h = num_heads
+    tn, dv = q_ref.shape[-2], q_ref.shape[-1]
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        dk_ref[...] = jnp.zeros(dk_ref.shape, dk_ref.dtype)
+        dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
+
+    for s in range(block_b):
+        k = k_ref[s].astype(jnp.bfloat16)
+        v = v_ref[s].astype(jnp.bfloat16)
+        bias = jnp.where(mask_ref[s] > 0, 0.0, _MASK_VALUE)[None, :]
+        bdq = _bd(q_ref[s].astype(jnp.float32), h)           # [h·tn, dv]
+        a = _probs(q_ref[s].astype(jnp.float32), k, bias, h, scale)
+        bdg = _bd(g_ref[s].astype(jnp.float32), h)
+        da = jax.lax.dot_general(
+            bdg, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [h·tn, M]
+        dlg = (a * (da - jnp.sum(da * a, axis=-1, keepdims=True))
+               * scale).astype(jnp.bfloat16)
+        dq_ref[s] = _head_sum(
+            jnp.dot(dlg, k, preferred_element_type=jnp.float32), h, tn, dv
+        ).astype(dq_ref.dtype)
+        dk_ref[s] += jax.lax.dot_general(
+            dlg, bdq, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [M, dv]
+        dv_ref[s] += jax.lax.dot_general(
+            a.astype(jnp.bfloat16), bdg,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+def _pad_to(x, size, axis):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (0, pad)
+    return jnp.pad(x, cfg)
+
+
+def _tiles(N: int, tile_n: int):
+    nt = max(1, -(-N // tile_n))
+    return nt, nt * tile_n
+
+
+def _mha_fwd_impl(q, k, v, mask, num_heads, scale, block_b, tile_n,
+                  interpret):
+    B, N, dv = q.shape
+    M = k.shape[1]
+    nt, Np = _tiles(N, tile_n)
+    tn = Np // nt
+    pad_b = (-B) % block_b
+    Bp = B + pad_b
+    qp = _pad_to(_pad_to(q, Np, 1), Bp, 0)
+    kp = _pad_to(k, Bp, 0)
+    vp = _pad_to(v, Bp, 0)
+    maskp = _pad_to(mask, Bp, 0)
+    if pad_b:  # padded samples: fully-valid mask keeps softmax finite
+        maskp = maskp.at[B:].set(1.0)
+
+    kern = functools.partial(_fwd_kernel, num_heads=num_heads, scale=scale,
+                             block_b=block_b)
+    out = pl.pallas_call(
+        kern,
+        interpret=interpret,
+        out_shape=jax.ShapeDtypeStruct((Bp, Np, dv), jnp.float32),
+        grid=(Bp // block_b, nt),
+        in_specs=[
+            pl.BlockSpec((block_b, tn, dv), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, M, dv), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, M, dv), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, M), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, tn, dv), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+    )(qp, kp, vp, maskp)
+    return out[:B, :N]
+
+
+def _mha_bwd_impl(q, k, v, mask, g, num_heads, scale, block_b, tile_n,
+                  interpret):
+    B, N, dv = q.shape
+    M = k.shape[1]
+    nt, Np = _tiles(N, tile_n)
+    tn = Np // nt
+    pad_b = (-B) % block_b
+    Bp = B + pad_b
+    qp = _pad_to(_pad_to(q, Np, 1), Bp, 0)
+    gp = _pad_to(_pad_to(g, Np, 1), Bp, 0)
+    kp = _pad_to(k, Bp, 0)
+    vp = _pad_to(v, Bp, 0)
+    maskp = _pad_to(mask, Bp, 0)
+    if pad_b:
+        maskp = maskp.at[B:].set(1.0)
+
+    kern = functools.partial(_bwd_kernel, num_heads=num_heads, scale=scale,
+                             block_b=block_b)
+    dq, dk, dv_ = pl.pallas_call(
+        kern,
+        interpret=interpret,
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, Np, dv), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, M, dv), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, M, dv), jnp.float32),
+        ),
+        grid=(Bp // block_b, nt),
+        in_specs=[
+            pl.BlockSpec((block_b, tn, dv), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, M, dv), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, M, dv), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, M), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, tn, dv), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_b, tn, dv), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, M, dv), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, M, dv), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # query tiles accumulate into dk/dv → sequential second axis
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+    )(qp, kp, vp, maskp, gp)
+    return dq[:B, :N], dk[:B], dv_[:B]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _fused_mha(q, k, v, mask, num_heads, scale, block_b, tile_n):
+    interpret = jax.default_backend() != "tpu"
+    return _mha_fwd_impl(q, k, v, mask, num_heads, scale, block_b, tile_n,
+                         interpret)
+
+
+def _fused_mha_fwd(q, k, v, mask, num_heads, scale, block_b, tile_n):
+    out = _fused_mha(q, k, v, mask, num_heads, scale, block_b, tile_n)
+    return out, (q, k, v, mask)
+
+
+def _fused_mha_bwd(num_heads, scale, block_b, tile_n, res, g):
+    q, k, v, mask = res
+    interpret = jax.default_backend() != "tpu"
+    dq, dk, dv = _mha_bwd_impl(q, k, v, mask, g.astype(jnp.float32),
+                               num_heads, scale, block_b, tile_n, interpret)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            jnp.zeros_like(mask))
+
+
+_fused_mha.defvjp(_fused_mha_fwd, _fused_mha_bwd)
 
 
 def fused_mha(
@@ -73,8 +266,10 @@ def fused_mha(
     num_heads: int,
     scale: float,
     block_b: int = 8,
+    tile_n: int = 256,
 ) -> Array:
     """``softmax(q·kᵀ·scale, key_mask)·v`` with feature-split heads.
+    Differentiable (custom VJP with a Pallas backward kernel).
 
     Args:
       q: ``[B, N, dv]`` projected queries.
@@ -82,48 +277,16 @@ def fused_mha(
       mask: ``[B, M]`` bool key mask or None.
       num_heads: head count (``dv % num_heads == 0``).
       scale: logits scale (reference: ``1/sqrt(dv)``).
+      block_b: samples per grid step.  tile_n: query rows per grid step.
 
     Returns ``[B, N, dv]`` (heads re-concatenated), f32.
     """
-    B, N, dv = q.shape
-    M = k.shape[1]
+    B, M = q.shape[0], k.shape[1]
     if mask is None:
-        mask = jnp.ones((B, M), jnp.float32)
+        maskf = jnp.ones((B, M), jnp.float32)
     else:
-        mask = mask.astype(jnp.float32)
-
-    pad_b = (-B) % block_b
-    if pad_b:
-        q = jnp.pad(q, ((0, pad_b), (0, 0), (0, 0)))
-        k = jnp.pad(k, ((0, pad_b), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, pad_b), (0, 0), (0, 0)))
-        mask = jnp.pad(mask, ((0, pad_b), (0, 0)), constant_values=1.0)
-    Bp = B + pad_b
-
-    kernel = functools.partial(
-        _mha_kernel, num_heads=num_heads, scale=scale, block_b=block_b
-    )
-    # Mosaic compiles only on TPU; CPU (tests, virtual meshes) interprets.
-    interpret = jax.default_backend() != "tpu"
-    out = pl.pallas_call(
-        kernel,
-        interpret=interpret,
-        out_shape=jax.ShapeDtypeStruct((Bp, N, dv), jnp.float32),
-        grid=(Bp // block_b,),
-        in_specs=[
-            pl.BlockSpec((block_b, N, dv), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, M, dv), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, M, dv), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, M), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((block_b, N, dv), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-        ),
-    )(q, k, v, mask)
-    return out[:B]
+        maskf = mask.astype(jnp.float32)
+    tile_n = min(tile_n, q.shape[1]) if q.shape[1] % tile_n else tile_n
+    return _fused_mha(q.astype(jnp.float32), k.astype(jnp.float32),
+                      v.astype(jnp.float32), maskf,
+                      num_heads, scale, block_b, tile_n)

@@ -1,0 +1,63 @@
+"""Fused featurize kernel == the golden-tested XLA featurize chain (CPU
+interpret mode).  ``log(1e-8 + sqrt(m²)/n_fft)`` over the kernel's squared
+magnitudes must reproduce the logmag chunks on every valid chunk, including
+the trim shift and both reflect-boundary frames."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pcaudio.dsp.featurize import FeaturizeConfig, featurize_batch, batched_temporal_chunks
+from pcaudio.ops.kernels.featurize import fused_chunk_mag2
+
+
+def _ref_chunks(waves, lengths, n_fft, trim):
+    cfg = FeaturizeConfig(fs=44100, n_fft=n_fft, trim=trim)
+    lm, fm = featurize_batch(waves, lengths, cfg)
+    return batched_temporal_chunks(lm, fm, 10)
+
+
+@pytest.mark.parametrize("trim", [False, True])
+def test_fused_featurize_matches_xla(trim):
+    rng = np.random.default_rng(0)
+    B, L, n_fft = 3, 20480, 1024
+    waves = np.zeros((B, L), np.float32)
+    lengths = np.array([L, 17000, 9000], np.int32)
+    for i, n in enumerate(lengths):
+        waves[i, :n] = 0.2 * rng.standard_normal(n)
+    # silence pads to exercise the trim shift
+    if trim:
+        waves[1, :2048] = 1e-6 * rng.standard_normal(2048)
+        waves[2, :1024] = 0.0
+    waves = jnp.asarray(waves)
+    lengths = jnp.asarray(lengths)
+
+    # f32 compute: structural parity with the golden-tested XLA chain
+    m2, cmask = fused_chunk_mag2(waves, lengths, n_fft=n_fft, trim=trim,
+                                 out_dtype=jnp.float32,
+                                 compute_dtype=jnp.float32)
+    got = np.log(1e-8 + np.sqrt(np.maximum(np.asarray(m2, np.float64), 0.0))
+                 / n_fft)
+
+    ref, ref_mask = _ref_chunks(waves, lengths, n_fft, trim)
+    np.testing.assert_array_equal(np.asarray(cmask), np.asarray(ref_mask))
+    vm = np.asarray(cmask)
+    np.testing.assert_allclose(got[vm], np.asarray(ref)[vm],
+                               atol=5e-4, rtol=1e-4)
+
+    # bf16 compute (serving): same structure, precision-level deviations
+    m2b, _ = fused_chunk_mag2(waves, lengths, n_fft=n_fft, trim=trim,
+                              out_dtype=jnp.float32)
+    magb = np.sqrt(np.maximum(np.asarray(m2b, np.float64), 0.0))[vm]
+    mag = np.exp(np.asarray(ref)[vm]) * n_fft - 1e-8 * n_fft
+    np.testing.assert_allclose(magb / n_fft + 1e-8, mag / n_fft + 1e-8,
+                               rtol=0.08, atol=5e-4)
+
+
+def test_fused_featurize_all_silent_clip_finite():
+    waves = jnp.zeros((2, 8192), jnp.float32)
+    lengths = jnp.asarray([8192, 0], jnp.int32)
+    m2, cmask = fused_chunk_mag2(waves, lengths, n_fft=1024, trim=True,
+                                 out_dtype=jnp.float32)
+    assert np.isfinite(np.asarray(m2)).all()

@@ -22,7 +22,11 @@ def test_fused_mab_matches_xla(mask_frac):
     ref = ref_m.apply(params, Q, K, key_mask=mask)
     fused_m = MAB(dim_V=8, num_heads=2, fused_attn=True)
     got = fused_m.apply(params, Q, K, key_mask=mask)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    # the trainable kernel runs its matmuls in bf16 (precision floor ~1e-2
+    # relative); forward parity at bf16 tolerance, exactness is covered by
+    # the f32 golden tests of the XLA path
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
 
 
 def test_fused_st_matches_xla():
@@ -36,4 +40,5 @@ def test_fused_st_matches_xla():
     fused = ST(dim_input=2, dim_output=10, num_inds=16, dim_hidden=32,
                num_heads=4, fused_attn=True)
     got = fused.apply(params, pts, mask=mask)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-2, rtol=5e-2)

@@ -1,0 +1,62 @@
+"""Fused-kernel extraction path == XLA extraction path (CPU interpret).
+
+``featurize='fused'`` selects on squared magnitudes and logs only the K
+winners; at f32 compute the selected point set must match the XLA path's.
+"""
+import dataclasses
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from pcaudio.eval.pipeline import TemporalPipelineConfig, extract_chunk_clouds
+
+
+def _waves(B=2, L=32768, n=30000):
+    rng = np.random.default_rng(0)
+    w = np.zeros((B, L), np.float32)
+    w[:, :n] = 0.1 * rng.standard_normal((B, n))
+    return jnp.asarray(w), jnp.full((B,), n, jnp.int32)
+
+
+def test_fused_extract_matches_xla_extract():
+    waves, lengths = _waves()
+    base = TemporalPipelineConfig(fs=44100, n_fft=1024, num_frames=10,
+                                  top_k=64, trim=True, extraction="exact")
+    ref_cloud, ref_cm = extract_chunk_clouds(waves, lengths, base)
+    fus_cloud, fus_cm = extract_chunk_clouds(
+        waves, lengths, dataclasses.replace(base, featurize="fused"))
+    np.testing.assert_array_equal(np.asarray(ref_cm), np.asarray(fus_cm))
+    vc = np.asarray(ref_cm).reshape(-1)
+
+    ref = np.asarray(ref_cloud.points)[vc]
+    fus = np.asarray(fus_cloud.points)[vc]
+    # same selected point set: compare sorted magnitudes...
+    rs = np.sort(ref[..., 2], axis=-1)
+    fs_ = np.sort(fus[..., 2], axis=-1)
+    np.testing.assert_allclose(fs_, rs, atol=2e-4, rtol=1e-4)
+    # ...and the full (f, t, mag) triples as sets (lexicographic sort)
+    for a, b in zip(ref, fus):
+        a = a[np.lexsort(a.T)]
+        b = b[np.lexsort(b.T)]
+        np.testing.assert_allclose(b, a, atol=2e-4, rtol=1e-4)
+
+
+def test_fused_extract_approx_close():
+    waves, lengths = _waves()
+    base = TemporalPipelineConfig(
+        fs=44100, n_fft=1024, num_frames=10, top_k=64, trim=True,
+        extraction="approx", compute_dtype="bfloat16",
+        stft_precision="default", featurize="fused")
+    cloud, cm = extract_chunk_clouds(waves, lengths, base)
+    ref_cloud, _ = extract_chunk_clouds(
+        waves, lengths,
+        dataclasses.replace(base, featurize="xla", extraction="exact",
+                            compute_dtype="float32",
+                            stft_precision="highest"))
+    vc = np.asarray(cm).reshape(-1)
+    got = np.sort(np.asarray(cloud.points, np.float32)[vc][..., 2], axis=-1)
+    ref = np.sort(np.asarray(ref_cloud.points)[vc][..., 2], axis=-1)
+    # bf16 selection: selected mass must track the exact selection
+    assert np.abs(got.mean() - ref.mean()) < 0.02 * np.abs(ref.mean()) + 1e-3
+    np.testing.assert_allclose(got[:, 32:], ref[:, 32:], atol=0.1, rtol=2e-2)
