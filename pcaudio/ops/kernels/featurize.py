@@ -1,28 +1,38 @@
 """Fused featurize Pallas kernel: waveform → temporal-chunk |STFT|² grids.
 
-Replaces the XLA serving featurize chain (trim materialize → reflect pad →
-strided-view DFT matmuls → log — ``pcaudio/dsp/*``, measured 43 ms at B=512
-on v5e, dominated by vmapped dynamic-slice passes over the 452 MB wave batch
-at ~40 GB/s effective) with ONE kernel that reads each wave exactly once:
+ONE kernel pass replaces the whole serving featurize chain (trim → reflect
+pad → frame → window → DFT → chunk): each wave is read from HBM exactly once
+and everything else happens in VMEM.  Measured on v5e at B=512×5 s clips:
+the round-1 XLA chain cost 76.8 ms, the first fused kernel (XLA preamble for
+trim + boundary-frame gathers) 47 ms — the gathers and the extra trim pass
+over the 452 MB wave batch dominated.  This version moves both INTO the
+kernel:
 
-  * the windowed-DFT basis is folded into two ``[hop, n_fft]`` matmul
-    operands (the round-1 zero-materialization STFT, ``pcaudio/dsp/stft.py``),
-    so framing is just the natural ``[R, hop]`` row view of the buffer;
-  * the trim shift becomes a dynamic-start row *write* into a VMEM scratch
-    at offset ``OFF − s0`` (trim starts are hop-aligned: librosa trim
-    returns ``first_frame · hop`` — ``Code/settransformer.py:48`` semantics),
-    so frames are then read back at a *static* offset — no gathers anywhere;
-  * the two frames whose librosa reflect-padding crosses the trim boundaries
-    (frame 0 and the last valid frame — exactly one right-edge frame since
-    ``T_c = 1 + tlen//hop``) are built on the XLA side from tiny per-clip
-    windows and overwrite their scratch rows;
+  * **trim** (librosa ``effects.trim(top_db=60)`` exact semantics,
+    ``Code/settransformer.py:48``): block energies fall out of the wave rows
+    already resident in VMEM; the centered-frame main term is a shift-add of
+    4 block energies; the left/right reflect corrections are static-slice
+    scalar fixes and 4 masked window sums.  No second pass over the wave.
+  * **STFT**: the windowed-DFT basis is folded into two ``[hop, 2F]`` matmul
+    operands (round-1 zero-materialization STFT, ``pcaudio/dsp/stft.py``);
+    framing is the natural ``[R, hop]`` row view; the trim shift becomes a
+    dynamic-start row write into a VMEM scratch + an 8-way static-slice
+    switch for the sublane residual (Mosaic wants offsets ≡ 0 mod 8).
+  * **boundary frames** (the two frames whose librosa reflect padding
+    crosses the trim boundaries): built without any gather — a one-hot
+    ``[4, R]`` row-selection matmul pulls the 4-row sample window, a
+    ``[2048, 1024]`` iota-equality map matmul applies the (clip-dependent)
+    reflect index map, and the shared DFT operands produce the spectrum.
+    Gathering these 2×1024 samples per clip on the XLA side instead
+    measured 32 ms at serving batch — generic gathers remain catastrophic.
   * output is squared magnitude (NOT log): selection downstream is monotonic
     in |·|², so ``log(1e-8 + sqrt(m²)/n_fft)`` is applied to the K winners
     only — 40x less transcendental work than logging the whole spectrogram.
 
-Reference semantics reproduced: ``librosa.stft(y, n_fft, hop=n_fft//2,
-center=True)`` of the trimmed clip, Nyquist row dropped, ``Ntemp``-frame
-chunks with remainder discarded (``Code/settransformertemp.py:50-59``).
+Reference semantics reproduced: ``librosa.effects.trim(x, top_db=60)`` then
+``librosa.stft(y, n_fft, hop=n_fft//2, center=True)``, Nyquist row dropped,
+``Ntemp``-frame chunks with remainder discarded
+(``Code/settransformertemp.py:50-59``).
 """
 from __future__ import annotations
 
@@ -34,62 +44,144 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pcaudio.dsp.framing import reflect_index
 from pcaudio.dsp.stft import dft_matrix, stft_window
-from pcaudio.dsp.trim import trim_bounds
 
 Array = jax.Array
 
-
-def _patch_frames(wave: Array, start: Array, tlen: Array, n_fft: int,
-                  hop: int) -> Tuple[Array, Array]:
-    """The two reflect-boundary frames of one clip, in raw sample space.
-
-    Returns ``(frames [2, n_fft], positions [2])`` — frame 0 (left reflect)
-    and the last valid frame ``T_c − 1`` (right reflect; equals frame 0 for
-    sub-hop clips).  Gathers are ~2·n_fft elements per clip — negligible.
-    """
-    L = wave.shape[0]
-
-    def build(t):
-        j = t * hop + jnp.arange(n_fft) - n_fft // 2   # trimmed-signal index
-        jr = reflect_index(j, jnp.maximum(tlen, 1))
-        v = wave[jnp.clip(start + jr, 0, L - 1)]
-        return jnp.where(tlen > 0, v, 0.0)
-
-    t_last = tlen // hop
-    return jnp.stack([build(0), build(t_last)]), jnp.stack(
-        [jnp.zeros_like(t_last), t_last])
+_AMIN = 1.0e-10  # librosa power_to_db floor
+_LOG10 = 2.302585092994046
 
 
-def _kernel(s0_ref, pos_ref, x_ref, pm2_ref, w0_ref, w1_ref, out_ref,
-            scratch, *, R, F, C, Nt, out_dtype, compute_dtype):
-    # Mosaic requires dynamic sublane offsets ≡ 0 (mod 8): the trim shift is
-    # split into an aligned dynamic window read + an 8-way static-slice
-    # switch for the residual; boundary patches are row-iota selects.
+def _kernel(len_ref, x_ref, w0_ref, w1_ref, out_ref, info_ref, scratch, *,
+            L, R, F, C, Nt, T, hop, trim, top_db, out_dtype, compute_dtype):
     c = pl.program_id(0)
-    s0 = s0_ref[c]
-    plast = pos_ref[c, 1]
-    x = x_ref[0].astype(compute_dtype)                     # [R, hop]
+    length = len_ref[c]
+    x = x_ref[0]                                           # [R, hop] f32
+    sidx = (jax.lax.broadcasted_iota(jnp.int32, (R, hop), 0) * hop
+            + jax.lax.broadcasted_iota(jnp.int32, (R, hop), 1))
+
+    # ---- trim (librosa effects.trim), all from the resident rows -------
+    if trim:
+        xsq = jnp.where(sidx < length, x * x, 0.0)         # [R, hop] f32
+        eb = jnp.sum(xsq, axis=1, keepdims=True)           # [R, 1]
+
+        # main term: frame t (2048-window, 512-hop, centered) spans blocks
+        # t-2 .. t+1 (pcaudio/dsp/trim.py frame_power)
+        zpad2 = jnp.zeros((2, 1), jnp.float32)
+        ztail = jnp.zeros((max(T + 2 - R, 0), 1), jnp.float32)
+        ebp = jnp.concatenate([zpad2, eb, ztail], axis=0)[: T + 3]
+        main = ebp[0:T] + ebp[1:T + 1] + ebp[2:T + 2] + ebp[3:T + 3]
+
+        # left reflect corrections (frames 0 and 1 only)
+        x0sq = xsq[0:1, 0:1]
+        l1 = (eb[0:1] - x0sq
+              + xsq[1:2, 0:1] * (hop < length).astype(jnp.float32))
+        l0 = (eb[0:1] + eb[1:2] - x0sq
+              + xsq[2:3, 0:1] * (2 * hop < length).astype(jnp.float32))
+        l0 = jnp.where(length > 0, l0, 0.0)
+        l1 = jnp.where(length > 0, l1, 0.0)
+        tio = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+        main = main + jnp.where(tio == 0, l0[0, 0], 0.0)
+        main = main + jnp.where(tio == 1, l1[0, 0], 0.0)
+
+        # right reflect corrections: frames whose 2048-window crosses
+        # `length` mirror a tail window ending at length-2 (trim.py).  They
+        # are ≤4 frames; each needs Σ xsq over [length-1-w, length-1) —
+        # masked sums over the resident rows (Mosaic has no value
+        # dynamic_slice; 4 extra ~220K-element VPU passes are cheap).
+        tail = 2048 + hop
+        wstart = jnp.clip(length - tail, 0, L - tail)
+        offl = length - wstart
+        t_first = (length - 2048 + 1024) // hop + 1  # first t with b > length
+        for j in range(4):
+            t_j = t_first + j
+            a_j = t_j * hop - 1024
+            b_j = a_j + 2048
+            w_j = jnp.clip(b_j - length, 0, 2048)
+            hi = wstart + jnp.clip(offl - 1, 0, tail)
+            lo = wstart + jnp.clip(offl - 1 - w_j, 0, tail)
+            val = jnp.sum(jnp.where((sidx >= lo) & (sidx < hi), xsq, 0.0))
+            ok = (b_j > length) & (a_j < length) & (t_j >= 0) & (t_j < T)
+            main = main + jnp.where((tio == t_j) & ok, val, 0.0)
+
+        mse = main * (1.0 / 2048.0)
+        fmask = tio < 1 + length // hop
+        ref = jnp.maximum(jnp.max(jnp.where(fmask, mse, 0.0)), _AMIN)
+        db = 10.0 / _LOG10 * (jnp.log(jnp.maximum(mse, _AMIN)) - jnp.log(ref))
+        ns = (db > -top_db) & fmask
+        first = jnp.min(jnp.where(ns, tio, T))
+        last = jnp.max(jnp.where(ns, tio, -1))
+        any_ns = last >= 0
+        s0 = jnp.where(any_ns, first, 0)
+        end = jnp.where(any_ns, jnp.minimum(length, (last + 1) * hop), 0)
+        tlen = end - s0 * hop
+    else:
+        s0 = jnp.zeros((), jnp.int32)
+        tlen = length
+
+    info_ref[c, 0] = s0 * hop
+    info_ref[c, 1] = tlen
+
+    # ---- STFT: interior frames ----------------------------------------
+    xc = x.astype(compute_dtype)
     reim = (
-        jnp.dot(x[: R - 1], w0_ref[...], preferred_element_type=jnp.float32)
-        + jnp.dot(x[1:], w1_ref[...], preferred_element_type=jnp.float32)
+        jnp.dot(xc[: R - 1], w0_ref[...], preferred_element_type=jnp.float32)
+        + jnp.dot(xc[1:], w1_ref[...], preferred_element_type=jnp.float32)
     )                                                      # [R-1, 2F]
     m2 = reim[:, :F] ** 2 + reim[:, F:] ** 2               # [R-1, F]
+
+    # ---- boundary frames (reflect at trim start / end), gather-free ----
+    t_last = tlen // hop
+    xs = jnp.where(sidx < length, x, 0.0).astype(compute_dtype)
+    n_ref = jnp.maximum(tlen, 1)
+    start_s = s0 * hop
+    m2b = []
+    for t_b in (0, t_last):
+        r4 = jnp.clip(s0 + t_b - 2, 0, max(R - 4, 0))
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (4, R), 1)
+              == jax.lax.broadcasted_iota(jnp.int32, (4, R), 0) + r4
+              ).astype(compute_dtype)
+        w4 = jnp.dot(oh, xs,
+                     preferred_element_type=jnp.float32
+                     ).astype(compute_dtype)               # [4, hop]
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * hop), 1)
+        tj = t_b * hop + j - hop
+        jr = jnp.where(tj < 0, -tj, tj)
+        jr = jnp.where(jr >= n_ref, 2 * n_ref - 2 - jr, jr)
+        jr = jnp.clip(jr, 0, jnp.maximum(n_ref - 1, 0))
+        local = jnp.clip(start_s + jr - r4 * hop, 0, 4 * hop - 1)
+        # frame[j] = window[local[j]] as 4 one-hot lane-map matmuls (no
+        # sublane→lane reshape, no gather)
+        frame = jnp.zeros((1, 2 * hop), jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (hop, 2 * hop), 0)
+        for r in range(4):
+            sel_r = (lane + r * hop == local).astype(compute_dtype)
+            frame = frame + jnp.dot(w4[r: r + 1], sel_r,
+                                    preferred_element_type=jnp.float32)
+        frame = frame.astype(compute_dtype)
+        reim_b = (jnp.dot(frame[:, :hop], w0_ref[...],
+                          preferred_element_type=jnp.float32)
+                  + jnp.dot(frame[:, hop:], w1_ref[...],
+                            preferred_element_type=jnp.float32))
+        m2b.append(reim_b[:, :F] ** 2 + reim_b[:, F:] ** 2)   # [1, F]
+
+    # ---- trim shift + chunking via the aligned-scratch switch ----------
+    # Mosaic requires dynamic sublane offsets ≡ 0 (mod 8): the trim shift is
+    # split into an aligned dynamic window read + an 8-way static-slice
+    # switch for the residual.
     scratch[...] = jnp.zeros(scratch.shape, scratch.dtype)  # garbage → finite
     BASE = 8
-    scratch[BASE: BASE + R - 1, :] = m2     # specx row r at BASE + r
-    # frame t = specx row (s0 + t − 1) = scratch row (BASE − 1 + s0) + t
+    scratch[BASE: BASE + R - 1, :] = m2     # spectrum row r ↦ frame r+1
+    # frame t = spectrum row (s0 + t − 1) = scratch row (BASE − 1 + s0) + t
     u = BASE - 1 + s0
     u_c = pl.multiple_of((u // 8) * 8, 8)
     delta = u - u_c
     window = scratch[pl.ds(u_c, C * Nt + 8), :]
     frames = jax.lax.switch(
         delta, [lambda w=window, d=d: w[d: d + C * Nt] for d in range(8)])
-    # boundary frames (left reflect at 0; right reflect at T_c − 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (C * Nt, 1), 0)
-    frames = jnp.where(row == 0, pm2_ref[0, 0][None], frames)
-    frames = jnp.where(row == plast, pm2_ref[0, 1][None], frames)
+    frames = jnp.where(row == 0, m2b[0], frames)
+    frames = jnp.where(row == t_last, m2b[1], frames)
     out_ref[0] = frames.reshape(C, Nt, F).astype(out_dtype)
 
 
@@ -118,79 +210,64 @@ def fused_chunk_mag2(
     F = n_fft // 2
     Nt = num_frames
 
-    if trim:
-        start, tlen = jax.vmap(
-            functools.partial(trim_bounds, top_db=top_db))(waves, lengths)
-    else:
-        start = jnp.zeros_like(lengths)
-        tlen = lengths
-
-    # hop-aligned trim starts (librosa trim returns frame·hop)
-    s0 = start // hop
     t_max = 1 + L // hop
     C = t_max // Nt
+    T = t_max  # trim-detector frame budget (same hop as the STFT)
 
     pad = (-L) % hop
-    if pad:
-        waves_p = jnp.pad(waves, ((0, 0), (0, pad)))
-    else:
-        waves_p = waves
+    waves_p = jnp.pad(waves, ((0, 0), (0, pad))) if pad else waves
     R = waves_p.shape[1] // hop
     x3 = waves_p.reshape(B, R, hop)
 
-    pframes, ppos = jax.vmap(
-        functools.partial(_patch_frames, n_fft=n_fft, hop=hop)
-    )(waves, start, tlen)                                   # [B, 2, n_fft]
     # dft_matrix is [cos(F+1) | −sin(F+1)]; drop the Nyquist column of each
     # half so the kernel works on an aligned [.., 2F] basis
     wd_full = stft_window(n_fft)[:, None] * dft_matrix(n_fft)
     w_dft = jnp.concatenate([wd_full[:, :F], wd_full[:, F + 1: 2 * F + 1]],
                             axis=1)
-    # patch frames → squared magnitudes (tiny matmul on the XLA side)
-    preim = jnp.dot(pframes.astype(compute_dtype).reshape(B * 2, n_fft),
-                    w_dft.astype(compute_dtype),
-                    preferred_element_type=jnp.float32)
-    pm2 = (preim[:, :F] ** 2 + preim[:, F:] ** 2).reshape(B, 2, F)
+    w0 = w_dft[:hop].astype(compute_dtype)
+    w1 = w_dft[hop:].astype(compute_dtype)
 
     # scratch rows: static write at [8, 8+R−1); aligned window reads reach
     # (8−1+s0)//8·8 + C·Nt + 8 ≤ R + C·Nt + 16
     Rs = R + C * Nt + 16
     Rs += (-Rs) % 8
 
-    w0 = w_dft[:hop].astype(compute_dtype)
-    w1 = w_dft[hop:].astype(compute_dtype)
-
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    kern = functools.partial(_kernel, R=R, F=F, C=C, Nt=Nt,
-                             out_dtype=out_dtype, compute_dtype=compute_dtype)
+    kern = functools.partial(
+        _kernel, L=L, R=R, F=F, C=C, Nt=Nt, T=T, hop=hop, trim=trim,
+        top_db=top_db, out_dtype=out_dtype, compute_dtype=compute_dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, R, hop), lambda c, s, p: (c, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, F), lambda c, s, p: (c, 0, 0),
+            pl.BlockSpec((1, R, hop), lambda c, s: (c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, C, Nt, F), lambda c, s, p: (c, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=[
+            pl.BlockSpec((1, C, Nt, F), lambda c, s: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
         scratch_shapes=[pltpu.VMEM((Rs, F), jnp.float32)],
     )
-    chunk_m2 = pl.pallas_call(
+    chunk_m2, info = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, C, Nt, F), out_dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, C, Nt, F), out_dtype),
+            jax.ShapeDtypeStruct((B, 2), jnp.int32),
+        ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
-    )(s0.astype(jnp.int32), ppos.astype(jnp.int32), x3, pm2, w0, w1)
+    )(lengths.astype(jnp.int32), x3, w0, w1)
 
-    n_valid = 1 + tlen // hop
+    n_valid = 1 + info[:, 1] // hop
     chunk_mask = (jnp.arange(C)[None, :] + 1) * Nt <= n_valid[:, None]
     return chunk_m2, chunk_mask
