@@ -355,6 +355,203 @@ def _make_kernel_v5(num_heads: int, dv: int, num_inds: int, din: int,
     return kernel
 
 
+def _blockdiag2(w: Array) -> Array:
+    """[di, do] → [2di, 2do] block-diagonal (two copies)."""
+    z = jnp.zeros_like(w)
+    return jnp.concatenate(
+        [jnp.concatenate([w, z], 1), jnp.concatenate([z, w], 1)], 0)
+
+
+def _make_kernel_v6(num_heads: int, dv: int, num_inds: int, din: int,
+                    ncls: int, block_b: int, K: int):
+    """v6: pair-packed v4.  Two samples ride side-by-side on the lane axis
+    (feature dim dv=64 → 2·dv=128), with block-diagonal weights keeping them
+    independent.  Measured motivation (scripts/probe_lane_width.py, v5e):
+    a [n,64]×[64,64] matmul costs the SAME as [n,128]×[128,128], and even
+    64-lane elementwise runs slower per element than 128-lane — v4 wasted
+    half the machine on every op.  Cross-sample garbage (sample A's
+    attention applied to B's value columns) is produced by the packed A·V
+    matmuls and discarded by the (sample, head) column masks in head_sum.
+    Always uses the serving fast-softmax (this kernel is serving-only).
+    """
+    h, m = num_heads, num_inds
+    P = block_b // 2
+    dh = dv // h
+    dv2 = 2 * dv
+    scale = 1.0 / math.sqrt(dv)
+    _profile = os.environ.get("PCAUDIO_ST_PROFILE", "")
+
+    def colmask2():
+        # (sample, head) lane masks: lane ∈ [s·dv + head·dh, s·dv+(head+1)·dh)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (2, h, 1, dv2), 3)
+        head = jax.lax.broadcasted_iota(jnp.int32, (2, h, 1, dv2), 1)
+        sblk = jax.lax.broadcasted_iota(jnp.int32, (2, h, 1, dv2), 0)
+        return (lane // dh == sblk * h + head).astype(jnp.float32)
+
+    def softmax_rows(lg):
+        if _profile == "nosoftmax":
+            return lg * (1.0 / 128.0)
+        p = jnp.exp(jnp.clip(lg, -50.0, 50.0))
+        return p / jnp.sum(p, axis=-1, keepdims=True)
+
+    def head_sum(av, rows):
+        """[2·h·rows, dv2] → [rows, dv2]: per-sample head blocks summed into
+        their own column half."""
+        if _profile == "nohead":
+            return av[:rows].astype(jnp.float32)
+        return jnp.sum(av.reshape(2, h, rows, dv2) * colmask2(), axis=(0, 1))
+
+    def bd_rows(q):
+        """[rows, dv2] paired queries → block-diagonal [2·h·rows, dv2]."""
+        rows = q.shape[0]
+        if _profile == "nohead":
+            return jnp.broadcast_to(
+                q[None].astype(jnp.bfloat16), (2 * h, rows, dv2)).reshape(
+                    2 * h * rows, dv2)
+        return (q[None, None, :, :] * colmask2()).reshape(
+            2 * h * rows, dv2).astype(jnp.bfloat16)
+
+    def pair_bias(mb_p, rows):
+        """mb_p [2, K] → [2·rows, K] (sample s's bias on its row block)."""
+        if _profile == "nobias":
+            return jnp.zeros((2 * rows, K), jnp.float32)
+        return jnp.concatenate(
+            [jnp.broadcast_to(mb_p[0:1], (rows, K)),
+             jnp.broadcast_to(mb_p[1:2], (rows, K))], axis=0)
+
+    def rff_block(o, Wo, bo):
+        return o + jnp.maximum(
+            jnp.dot(o.astype(jnp.bfloat16), Wo,
+                    preferred_element_type=jnp.float32) + bo, 0.0)
+
+    def mab0_attend(iq_bd2, iq2, k_p, v_p, bias):
+        """Shared-query attend for one pair: iq_bd2 [2·h·mq, dv2] bf16,
+        iq2 [mq, dv2] f32, k_p/v_p [K, dv2] bf16, bias [2·h·mq? no: 2·mq... ]
+        bias [2·hmq-row-aligned, K].  → [mq, dv2] f32."""
+        if _profile == "noattend":
+            return iq2 + jnp.sum(v_p.astype(jnp.float32)) * 0.0
+        lg = jax.lax.dot_general(
+            iq_bd2, k_p, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + bias
+        a = softmax_rows(lg)
+        av = jnp.dot(a.astype(jnp.bfloat16), v_p,
+                     preferred_element_type=jnp.float32)   # [2·h·mq, dv2]
+        return iq2 + head_sum(av, iq2.shape[0])
+
+    def mab1_attend(q_p, k_p, v_p):
+        """Per-query attend for one pair: q_p [K, dv2] f32,
+        k_p/v_p [m, dv2] bf16 → [K, dv2] f32."""
+        if _profile == "noattend":
+            return q_p + jnp.sum(k_p.astype(jnp.float32)) * 0.0
+        lg = jax.lax.dot_general(
+            bd_rows(q_p), k_p, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale    # [2·h·K, m]
+        a = softmax_rows(lg)
+        av = jnp.dot(a.astype(jnp.bfloat16), v_p,
+                     preferred_element_type=jnp.float32)   # [2·h·K, dv2]
+        return q_p + head_sum(av, K)
+
+    def isab_block(x_blk, mb, iq_bd2, iq2, k0w, k0b, v0w, v0b, o0w, o0b,
+                   q1w, q1b, k1w, k1b, v1w, v1b, o1w, o1b):
+        """x_blk [P·K, 2·din or dv2] bf16 → [P·K, dv2] f32."""
+        kb = (jnp.dot(x_blk, k0w, preferred_element_type=jnp.float32)
+              + k0b).astype(jnp.bfloat16)
+        vb = (jnp.dot(x_blk, v0w, preferred_element_type=jnp.float32)
+              + v0b).astype(jnp.bfloat16)
+        o0 = []
+        for s in range(P):
+            sl = slice(s * K, (s + 1) * K)
+            o0.append(mab0_attend(iq_bd2, iq2, kb[sl], vb[sl],
+                                  pair_bias(mb[s], h * m)))
+        H = rff_block(jnp.concatenate(o0, axis=0), o0w, o0b)  # [P·m, dv2]
+        qb = jnp.dot(x_blk, q1w, preferred_element_type=jnp.float32) + q1b
+        Hb = H.astype(jnp.bfloat16)
+        k1 = (jnp.dot(Hb, k1w, preferred_element_type=jnp.float32)
+              + k1b).astype(jnp.bfloat16)
+        v1 = (jnp.dot(Hb, v1w, preferred_element_type=jnp.float32)
+              + v1b).astype(jnp.bfloat16)
+        o1 = []
+        for s in range(P):
+            slk = slice(s * K, (s + 1) * K)
+            slm = slice(s * m, (s + 1) * m)
+            o1.append(mab1_attend(qb[slk], k1[slm], v1[slm]))
+        return rff_block(jnp.concatenate(o1, axis=0), o1w, o1b)
+
+    def kernel(points_ref, maskbias_ref,
+               i1_bd, i1, k10w, k10b, v10w, v10b, o10w, o10b,
+               q11w, q11b, k11w, k11b, v11w, v11b, o11w, o11b,
+               i2_bd, i2, k20w, k20b, v20w, v20b, o20w, o20b,
+               q21w, q21b, k21w, k21b, v21w, v21b, o21w, o21b,
+               s_bd, s_dense, kpw, kpb, vpw, vpb, opw, opb,
+               dw, db,
+               out_ref):
+        if _profile == "copyonly":
+            out_ref[:] = jnp.broadcast_to(
+                jnp.sum(points_ref[:].astype(jnp.float32), axis=(1, 2)
+                        )[:, None], (P, 2 * ncls))
+            return
+        x = points_ref[:].reshape(P * K, 2 * din).astype(jnp.bfloat16)
+        mb = maskbias_ref[:]                               # [P, 2, K]
+        if _profile == "projonly":
+            y = jnp.dot(x, k10w[...], preferred_element_type=jnp.float32)
+            out_ref[:] = jnp.broadcast_to(
+                jnp.sum(y.reshape(P, K * 2 * dv), axis=1)[:, None],
+                (P, 2 * ncls))
+            return
+        x1 = isab_block(x, mb, i1_bd[...], i1[...],
+                        k10w[...], k10b[...], v10w[...], v10b[...],
+                        o10w[...], o10b[...],
+                        q11w[...], q11b[...], k11w[...], k11b[...],
+                        v11w[...], v11b[...], o11w[...], o11b[...])
+        x2 = isab_block(x1.astype(jnp.bfloat16), mb, i2_bd[...], i2[...],
+                        k20w[...], k20b[...], v20w[...], v20b[...],
+                        o20w[...], o20b[...],
+                        q21w[...], q21b[...], k21w[...], k21b[...],
+                        v21w[...], v21b[...], o21w[...], o21b[...])
+        x2b = x2.astype(jnp.bfloat16)
+        kp = (jnp.dot(x2b, kpw[...], preferred_element_type=jnp.float32)
+              + kpb[...]).astype(jnp.bfloat16)
+        vp = (jnp.dot(x2b, vpw[...], preferred_element_type=jnp.float32)
+              + vpb[...]).astype(jnp.bfloat16)
+        ps = []
+        for s in range(P):
+            sl = slice(s * K, (s + 1) * K)
+            ps.append(mab0_attend(s_bd[...], s_dense[...], kp[sl], vp[sl],
+                                  pair_bias(mb[s], h)))
+        Pp = rff_block(jnp.concatenate(ps, axis=0), opw[...], opb[...])
+        out_ref[:] = (jnp.dot(Pp.astype(jnp.bfloat16), dw[...],
+                              preferred_element_type=jnp.float32) + db[...])
+
+    return kernel
+
+
+def _pack_weights_v6(w, num_heads, dv, m, ncls):
+    """v4 weight list → pair-packed (block-diagonal) v6 weight list."""
+    out = []
+    i = 0
+
+    def bd_pair(q_bd, q):
+        # q_bd [h·mq, dv] → [2·h·mq, 2dv]; q [mq, dv] → [mq, 2dv]
+        return (_blockdiag2(q_bd.astype(jnp.float32)).astype(q_bd.dtype),
+                jnp.concatenate([q, q], axis=1))
+
+    def dense_pair(W, b):
+        return (_blockdiag2(W.astype(jnp.float32)).astype(W.dtype),
+                jnp.concatenate([b, b], axis=1))
+
+    for _ in range(2):  # two ISABs: iq_bd, iq + 7 denses (k0,v0,o0,q1,k1,v1,o1)
+        out += list(bd_pair(w[i], w[i + 1]))
+        for j in range(2, 16, 2):
+            out += list(dense_pair(w[i + j], w[i + j + 1]))
+        i += 16
+    out += list(bd_pair(w[i], w[i + 1]))      # PMA seeds
+    for j in range(2, 8, 2):                  # kp, vp, op
+        out += list(dense_pair(w[i + j], w[i + j + 1]))
+    i += 8
+    out += list(dense_pair(w[i], w[i + 1]))   # final dense
+    return out
+
+
 def fused_st_forward(
     params: Any,
     points: Array,
@@ -362,7 +559,7 @@ def fused_st_forward(
     *,
     num_heads: int,
     block_b: int = 8,
-    variant: str = "v4",
+    variant: str = "v6",
     fast_softmax: bool = True,
     interpret: Optional[bool] = None,
 ) -> Array:
@@ -415,19 +612,59 @@ def fused_st_forward(
     else:
         maskbias = jnp.where(mask, 0.0, _MASK_VALUE).astype(jnp.float32)
 
+    if variant == "v6":
+        # pair packing: the output block's sublane dim is the PAIR count, so
+        # it must be a multiple of 8 (Mosaic tiling) → block_b multiple of 16.
+        # A (pairs=4, 20) out block compiles but runs ~5x slower.
+        block_b = max(16, block_b + (-block_b) % 16)
     pad_b = (-B) % block_b
     if pad_b:
         points = jnp.pad(points, ((0, pad_b), (0, 0), (0, 0)))
         maskbias = jnp.pad(maskbias, ((0, pad_b), (0, 0)))
     Bp = B + pad_b
 
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    vmem = pltpu.CompilerParams(
+        dimension_semantics=("parallel",),  # megacore: independent blocks
+        # Mosaic's default scoped-VMEM limit is 16MB; the stage-wise block
+        # stacks exceed it for block_b > 16 (v5e has 128MB physical).
+        vmem_limit_bytes=96 * 1024 * 1024,
+    )
+
+    if variant == "v6":
+        Pn = Bp // 2
+        Pb = block_b // 2
+        # pair-pack: samples (p, p + Pn) side-by-side on the lane axis —
+        # halves + minor-dim concat (pure slices, no transpose relayout).
+        pts_p = jnp.concatenate([points[:Pn], points[Pn:]], axis=-1)
+        mb_p = jnp.stack([maskbias[:Pn], maskbias[Pn:]], axis=1)
+        w6 = _pack_weights_v6(w, num_heads, dv, m, ncls)
+        kernel = _make_kernel_v6(num_heads, dv, m, din, ncls, block_b, K)
+        out = pl.pallas_call(
+            kernel,
+            interpret=interpret,
+            out_shape=jax.ShapeDtypeStruct((Pn, 2 * ncls), jnp.float32),
+            grid=(Pn // Pb,),
+            in_specs=[
+                pl.BlockSpec((Pb, K, 2 * din), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Pb, 2, K), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in w6],
+            out_specs=pl.BlockSpec((Pb, 2 * ncls), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            compiler_params=vmem,
+        )(pts_p, mb_p, *w6)
+        out = jnp.concatenate([out[:, :ncls], out[:, ncls:]], axis=0)
+        return out[:B]
+
     if variant == "v5":
         kernel = _make_kernel_v5(num_heads, dv, m, din, ncls, block_b, K)
     else:
         kernel = _make_kernel(num_heads, dv, m, din, ncls, block_b, K,
                               fast_softmax=fast_softmax)
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
 
     out = pl.pallas_call(
         kernel,
@@ -442,11 +679,6 @@ def fused_st_forward(
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in w],
         out_specs=pl.BlockSpec((block_b, ncls), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),  # megacore: independent blocks
-            # Mosaic's default scoped-VMEM limit is 16MB; the stage-wise block
-            # stacks exceed it for block_b > 16 (v5e has 128MB physical).
-            vmem_limit_bytes=96 * 1024 * 1024,
-        ),
+        compiler_params=vmem,
     )(points, maskbias, *w)
     return out[:B]

@@ -38,7 +38,7 @@ def main():
         return float(jnp.sum(x))
 
     for name in args.variants or ["v2", "v4"]:
-        if name in ("v2", "v4", "v5", "fused"):
+        if name in ("v2", "v4", "v5", "v6", "fused"):
             from pcaudio.ops.kernels.fused_st import fused_st_forward as f
             fn = jax.jit(lambda p, x, m, v=name: f(p, x, m, num_heads=8,
                                            block_b=args.block_b,
