@@ -427,7 +427,12 @@ def _make_kernel_v6(num_heads: int, dv: int, num_inds: int, din: int,
     def mab0_attend(iq_bd2, iq2, k_p, v_p, bias):
         """Shared-query attend for one pair: iq_bd2 [2·h·mq, dv2] bf16,
         iq2 [mq, dv2] f32, k_p/v_p [K, dv2] bf16, bias [2·h·mq? no: 2·mq... ]
-        bias [2·hmq-row-aligned, K].  → [mq, dv2] f32."""
+        bias [2·h·mq rows, K].  → [mq, dv2] f32.
+
+        NOT transposed like mab1_attend: MAB0's logits are already
+        full-lane ([2·h·mq, K=128]) and the transposed form measured
+        slower (1.72 vs 1.65 µs/chunk — the [K,1]-sliced bias broadcasts
+        cost more than the sublane softmax saves)."""
         if _profile == "noattend":
             return iq2 + jnp.sum(v_p.astype(jnp.float32)) * 0.0
         lg = jax.lax.dot_general(
@@ -440,15 +445,26 @@ def _make_kernel_v6(num_heads: int, dv: int, num_inds: int, din: int,
 
     def mab1_attend(q_p, k_p, v_p):
         """Per-query attend for one pair: q_p [K, dv2] f32,
-        k_p/v_p [m, dv2] bf16 → [K, dv2] f32."""
+        k_p/v_p [m, dv2] bf16 → [K, dv2] f32.
+
+        Transposed formulation: logits are built as [m, 2·h·K] so the
+        softmax reduces over SUBLANES with all 128+ lanes busy — the
+        straight [2·h·K, m=64] layout leaves half of every vector register
+        empty (probe_lane_width.py)."""
         if _profile == "noattend":
             return q_p + jnp.sum(k_p.astype(jnp.float32)) * 0.0
-        lg = jax.lax.dot_general(
-            bd_rows(q_p), k_p, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale    # [2·h·K, m]
-        a = softmax_rows(lg)
-        av = jnp.dot(a.astype(jnp.bfloat16), v_p,
-                     preferred_element_type=jnp.float32)   # [2·h·K, dv2]
+        lgT = jax.lax.dot_general(
+            k_p, bd_rows(q_p), dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale    # [m, 2·h·K]
+        if _profile == "nosoftmax":
+            aT = lgT * (1.0 / 128.0)
+        else:
+            pT = jnp.exp(jnp.clip(lgT, -50.0, 50.0))
+            aT = pT / jnp.sum(pT, axis=0, keepdims=True)
+        av = jax.lax.dot_general(
+            aT.astype(jnp.bfloat16), v_p,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [2·h·K, dv2]
         return q_p + head_sum(av, K)
 
     def isab_block(x_blk, mb, iq_bd2, iq2, k0w, k0b, v0w, v0b, o0w, o0b,
