@@ -229,7 +229,7 @@ def main(argv=None):
 
     b = sub.add_parser("bench", help="end-to-end throughput benchmark")
     b.add_argument("--batch", type=int, default=512)
-    b.add_argument("--top-k", type=int, default=256)
+    b.add_argument("--top-k", type=int, default=128)  # canonical bench config (bench.py)
     b.set_defaults(fn=cmd_bench)
 
     m = sub.add_parser("modelnet40", help="ModelNet40 classification")

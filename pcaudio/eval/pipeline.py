@@ -14,6 +14,7 @@ chunks (the reference reports chunk-level accuracy; see ``clip_logits``).
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -167,8 +168,18 @@ def _extract_fused(waves: Array, lengths: Array,
         vals2, idx = jax.lax.top_k(mags, k)
     # log-magnitude point values, winners only (f32 transcendental on K
     # points instead of the whole spectrogram)
-    vals = jnp.log(1.0e-8 + jnp.sqrt(vals2.astype(jnp.float32)) / cfg.n_fft
-                   ).astype(cdt)
+    if cfg.stft_precision == "highest":
+        vals = jnp.log(1.0e-8 + jnp.sqrt(vals2.astype(jnp.float32))
+                       / cfg.n_fft).astype(cdt)
+    else:
+        # serving form: log(1e-8 + sqrt(v)/n) == 0.5·log(v) − log(n) up to
+        # O(1e-8·n/sqrt(v)); flooring v at (1e-8·n)² pins the silent limit
+        # to the reference's log(2e-8)-vs-log(1e-8) asymptote (≤ log 2
+        # absolute, and floor-valued points are never top-K winners in a
+        # chunk that has any signal).  Saves a sqrt+add per point.
+        floor = (1.0e-8 * cfg.n_fft) ** 2
+        vals = (0.5 * jnp.log(jnp.maximum(vals2.astype(jnp.float32), floor))
+                - math.log(cfg.n_fft)).astype(cdt)
     cf = jnp.asarray(0.5 / (F - 1), cdt)
     ct = jnp.asarray(
         (cfg.hop_factor * cfg.n_fft / cfg.fs) * Nt / (Nt - 1), cdt)

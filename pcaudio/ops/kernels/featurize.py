@@ -52,7 +52,8 @@ _AMIN = 1.0e-10  # librosa power_to_db floor
 _LOG10 = 2.302585092994046
 
 
-def _kernel(len_ref, x_ref, w0_ref, w1_ref, out_ref, info_ref, scratch, *,
+def _kernel(len_ref, x_ref, w0_ref, w1_ref, p0a_ref, p0b_ref, out_ref,
+            info_ref, scratch, *,
             L, R, F, C, Nt, T, hop, trim, top_db, out_dtype, compute_dtype):
     c = pl.program_id(0)
     length = len_ref[c]
@@ -88,7 +89,9 @@ def _kernel(len_ref, x_ref, w0_ref, w1_ref, out_ref, info_ref, scratch, *,
         # `length` mirror a tail window ending at length-2 (trim.py).  They
         # are ≤4 frames; each needs Σ xsq over [length-1-w, length-1) —
         # masked sums over the resident rows (Mosaic has no value
-        # dynamic_slice; 4 extra ~220K-element VPU passes are cheap).
+        # dynamic_slice, and staging xsq through the scratch for a windowed
+        # read crashes the Mosaic compiler; 4 full ~220K-element VPU passes
+        # measured ≤1 ms at serving batch).
         tail = 2048 + hop
         wstart = jnp.clip(length - tail, 0, L - tail)
         offl = length - wstart
@@ -131,39 +134,56 @@ def _kernel(len_ref, x_ref, w0_ref, w1_ref, out_ref, info_ref, scratch, *,
     m2 = reim[:, :F] ** 2 + reim[:, F:] ** 2               # [R-1, F]
 
     # ---- boundary frames (reflect at trim start / end), gather-free ----
+    # Single-bounce reflect only: exact whenever tlen ≥ n_fft, which holds
+    # for every clip with at least one valid chunk (needs tlen ≥ (Nt−1)·hop);
+    # shorter clips produce masked garbage.
     t_last = tlen // hop
     xs = jnp.where(sidx < length, x, 0.0).astype(compute_dtype)
-    n_ref = jnp.maximum(tlen, 1)
     start_s = s0 * hop
-    m2b = []
-    for t_b in (0, t_last):
-        r4 = jnp.clip(s0 + t_b - 2, 0, max(R - 4, 0))
-        oh = (jax.lax.broadcasted_iota(jnp.int32, (4, R), 1)
-              == jax.lax.broadcasted_iota(jnp.int32, (4, R), 0) + r4
+
+    def row_window(r0, nrows):
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (nrows, R), 1)
+              == jax.lax.broadcasted_iota(jnp.int32, (nrows, R), 0) + r0
               ).astype(compute_dtype)
-        w4 = jnp.dot(oh, xs,
-                     preferred_element_type=jnp.float32
-                     ).astype(compute_dtype)               # [4, hop]
-        j = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * hop), 1)
-        tj = t_b * hop + j - hop
-        jr = jnp.where(tj < 0, -tj, tj)
-        jr = jnp.where(jr >= n_ref, 2 * n_ref - 2 - jr, jr)
-        jr = jnp.clip(jr, 0, jnp.maximum(n_ref - 1, 0))
-        local = jnp.clip(start_s + jr - r4 * hop, 0, 4 * hop - 1)
-        # frame[j] = window[local[j]] as 4 one-hot lane-map matmuls (no
-        # sublane→lane reshape, no gather)
-        frame = jnp.zeros((1, 2 * hop), jnp.float32)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (hop, 2 * hop), 0)
-        for r in range(4):
-            sel_r = (lane + r * hop == local).astype(compute_dtype)
-            frame = frame + jnp.dot(w4[r: r + 1], sel_r,
-                                    preferred_element_type=jnp.float32)
-        frame = frame.astype(compute_dtype)
+        return jnp.dot(oh, xs, preferred_element_type=jnp.float32
+                       ).astype(compute_dtype)             # [nrows, hop]
+
+    def frame_m2(frame):
         reim_b = (jnp.dot(frame[:, :hop], w0_ref[...],
                           preferred_element_type=jnp.float32)
                   + jnp.dot(frame[:, hop:], w1_ref[...],
                             preferred_element_type=jnp.float32))
-        m2b.append(reim_b[:, :F] ** 2 + reim_b[:, F:] ** 2)   # [1, F]
+        return reim_b[:, :F] ** 2 + reim_b[:, F:] ** 2     # [1, F]
+
+    # left (frame 0): window = trimmed samples [0, 1024) = rows s0, s0+1;
+    # frame0[j] = window[|j−512|] — a CONSTANT map, applied via the
+    # precomputed reflect operands (p0a/p0b), zero comparisons.
+    w01 = row_window(jnp.clip(s0, 0, max(R - 2, 0)), 2)
+    frame0 = (jnp.dot(w01[0:1], p0a_ref[...],
+                      preferred_element_type=jnp.float32)
+              + jnp.dot(w01[1:2], p0b_ref[...],
+                        preferred_element_type=jnp.float32)
+              ).astype(compute_dtype)
+    m2_left = frame_m2(frame0)
+
+    # right (frame t_last): 3-row window rows s0+t_last−2 … s0+t_last;
+    # direct part is the straight lanes, the reflected tail is a reversed
+    # run — one iota-equality map matmul on the 3-row window.
+    r3 = jnp.clip(s0 + t_last - 2, 0, max(R - 3, 0))
+    w3 = row_window(r3, 3)
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * hop), 1)
+    tj = t_last * hop + j - hop
+    g_abs = start_s + jnp.where(tj < tlen, tj,
+                                2 * tlen - 2 - tj)          # single bounce
+    target = jnp.clip(g_abs - r3 * hop, 0, 3 * hop - 1)
+    frame_l = jnp.zeros((1, 2 * hop), jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (hop, 2 * hop), 0)
+    for r in range(3):
+        sel_r = (lane + r * hop == target).astype(compute_dtype)
+        frame_l = frame_l + jnp.dot(w3[r: r + 1], sel_r,
+                                    preferred_element_type=jnp.float32)
+    m2_right = frame_m2(frame_l.astype(compute_dtype))
+    m2b = [m2_left, m2_right]
 
     # ---- trim shift + chunking via the aligned-scratch switch ----------
     # Mosaic requires dynamic sublane offsets ≡ 0 (mod 8): the trim shift is
@@ -227,6 +247,13 @@ def fused_chunk_mag2(
     w0 = w_dft[:hop].astype(compute_dtype)
     w1 = w_dft[hop:].astype(compute_dtype)
 
+    # constant left-boundary reflect map: frame0[j] = window[|j − hop|]
+    # (window = first 2·hop trimmed samples); split by window row
+    jj = jnp.abs(jnp.arange(2 * hop) - hop)
+    ii = jnp.arange(hop)
+    p0a = (ii[:, None] == jj[None, :]).astype(compute_dtype)
+    p0b = ((hop + ii)[:, None] == jj[None, :]).astype(compute_dtype)
+
     # scratch rows: static write at [8, 8+R−1); aligned window reads reach
     # (8−1+s0)//8·8 + C·Nt + 8 ≤ R + C·Nt + 16
     Rs = R + C * Nt + 16
@@ -244,6 +271,8 @@ def fused_chunk_mag2(
         in_specs=[
             pl.BlockSpec((1, R, hop), lambda c, s: (c, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -266,7 +295,7 @@ def fused_chunk_mag2(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
-    )(lengths.astype(jnp.int32), x3, w0, w1)
+    )(lengths.astype(jnp.int32), x3, w0, w1, p0a, p0b)
 
     n_valid = 1 + info[:, 1] // hop
     chunk_mask = (jnp.arange(C)[None, :] + 1) * Nt <= n_valid[:, None]

@@ -529,12 +529,23 @@ def _make_kernel_v6(num_heads: int, dv: int, num_inds: int, din: int,
               + kpb[...]).astype(jnp.bfloat16)
         vp = (jnp.dot(x2b, vpw[...], preferred_element_type=jnp.float32)
               + vpb[...]).astype(jnp.bfloat16)
-        ps = []
-        for s in range(P):
-            sl = slice(s * K, (s + 1) * K)
-            ps.append(mab0_attend(s_bd[...], s_dense[...], kp[sl], vp[sl],
-                                  pair_bias(mb[s], h)))
-        Pp = rff_block(jnp.concatenate(ps, axis=0), opw[...], opb[...])
+        # PMA batched over ALL pairs: the seed queries are shared, so one
+        # [2h, dv2]×[dv2, P·K] matmul + one block-reshaped softmax replace P
+        # unrolled attends (only the tiny a·v dots stay per-pair).
+        lg_all = jax.lax.dot_general(
+            s_bd[...], kp, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale     # [2h, P·K]
+        lg4 = lg_all.reshape(2 * h, P, K) + mb.transpose(1, 0, 2).reshape(
+            2, 1, P, K).repeat(h, axis=1).reshape(2 * h, P, K)
+        a4 = softmax_rows(lg4)                              # softmax over K
+        a_p = a4.transpose(1, 0, 2)                         # [P, 2h, K] tiny
+        av = jax.lax.dot_general(
+            a_p.astype(jnp.bfloat16), vp.reshape(P, K, dv2),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)             # [P, 2h, dv2]
+        hs = jnp.sum(av.reshape(P, 2, h, dv2)
+                     * colmask2().reshape(1, 2, h, dv2), axis=(1, 2))
+        Pp = rff_block(s_dense[...] + hs, opw[...], opb[...])  # [P, dv2]
         out_ref[:] = (jnp.dot(Pp.astype(jnp.bfloat16), dw[...],
                               preferred_element_type=jnp.float32) + db[...])
 
