@@ -57,6 +57,20 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64, ctypes.c_int]
         lib.pcaudio_decode_wav_batch.restype = ctypes.c_int
+        lib.pcaudio_prefetch_create.argtypes = [
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.pcaudio_prefetch_create.restype = ctypes.c_void_p
+        lib.pcaudio_prefetch_submit.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int]
+        lib.pcaudio_prefetch_submit.restype = ctypes.c_int
+        lib.pcaudio_prefetch_acquire.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32))]
+        lib.pcaudio_prefetch_acquire.restype = ctypes.c_int
+        lib.pcaudio_prefetch_release.argtypes = [ctypes.c_void_p]
+        lib.pcaudio_prefetch_release.restype = ctypes.c_int
+        lib.pcaudio_prefetch_destroy.argtypes = [ctypes.c_void_p]
+        lib.pcaudio_prefetch_destroy.restype = None
         _lib = lib
         return _lib
 
@@ -89,3 +103,81 @@ def decode_wav_batch(
     if rc != 0:
         raise RuntimeError(f"native WAV decode failed with code {rc}")
     return out, lengths
+
+
+class PrefetchingLoader:
+    """Native decode pipeline: a C++ thread pool fills a ring of ``depth``
+    slot buffers ahead of consumption, so host decode of upcoming batches
+    overlaps device compute (the production ingest the reference's per-clip
+    ``librosa.load`` loop cannot do, ``Code/settransformer.py:43-47``).
+
+    Usage::
+
+        with PrefetchingLoader(L, batch=64, depth=3) as pf:
+            for group in batches:           # submit a few batches ahead
+                pf.submit(group)
+            for _ in batches:
+                waves, lengths, n = pf.next()   # zero-copy views
+                ...                             # consumed before next next()
+
+    ``next()`` returns numpy views INTO the slot, valid until the following
+    ``next()`` call (which releases the previous slot).
+    """
+
+    def __init__(self, buffer_len: int, batch: int, depth: int = 3,
+                 num_threads: Optional[int] = None):
+        lib = load_library()
+        if lib is None:
+            raise RuntimeError("native library unavailable (no g++?)")
+        if num_threads is None:
+            num_threads = min(8, os.cpu_count() or 1)
+        self._lib = lib
+        self._h = lib.pcaudio_prefetch_create(
+            buffer_len, batch, depth, num_threads)
+        if not self._h:
+            raise RuntimeError("prefetcher creation failed")
+        self._buffer_len = buffer_len
+        self._batch = batch
+        self._outstanding = 0
+
+    def submit(self, paths: Sequence[str]) -> None:
+        n = len(paths)
+        assert n <= self._batch
+        arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+        rc = self._lib.pcaudio_prefetch_submit(self._h, arr, n)
+        if rc != 0:
+            raise RuntimeError(f"prefetch submit failed: {rc}")
+
+    def next(self) -> Tuple[np.ndarray, np.ndarray, int]:
+        """Blocking: (waves [batch, L] view, lengths [batch] view, n)."""
+        if self._outstanding:
+            self._lib.pcaudio_prefetch_release(self._h)
+            self._outstanding -= 1
+        fp = ctypes.POINTER(ctypes.c_float)()
+        lp = ctypes.POINTER(ctypes.c_int32)()
+        rc = self._lib.pcaudio_prefetch_acquire(
+            self._h, ctypes.byref(fp), ctypes.byref(lp))
+        if rc < 0:
+            self._lib.pcaudio_prefetch_release(self._h)
+            raise RuntimeError(f"prefetch decode failed: {rc}")
+        self._outstanding += 1
+        waves = np.ctypeslib.as_array(fp, (self._batch, self._buffer_len))
+        lengths = np.ctypeslib.as_array(lp, (self._batch,))
+        return waves, lengths, rc
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.pcaudio_prefetch_destroy(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):  # pragma: no cover - defensive
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -11,9 +11,14 @@
 // count (averaged to mono, librosa convention).  Chunk-walking parser —
 // handles LIST/fact/etc. chunks in any order.
 
+#include <atomic>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <deque>
+#include <mutex>
+#include <string>
 #include <thread>
 #include <vector>
 
@@ -133,6 +138,166 @@ int pcaudio_decode_wav_batch(const char** paths, int n, float* out,
   for (int e : errs)
     if (e != 0) return e;
   return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Prefetching pipeline: a persistent thread pool decodes submitted batches
+// ahead of consumption into a ring of reusable slot buffers, so host decode
+// of batch i+1 (or further, up to `depth` in flight) overlaps device compute
+// of batch i.  This is the production replacement for the reference's
+// synchronous per-clip librosa.load loop (Code/settransformer.py:43-47) and
+// for the single Python producer thread it can't parallelize past the GIL.
+//
+// C ABI (ctypes): create → submit* → (acquire → release)* → destroy.
+// Jobs decode one at a time, cooperatively across all pool threads (atomic
+// file index), so single-batch latency scales with the pool; ready order is
+// submission order by construction.
+
+namespace {
+
+struct Prefetcher {
+  int64_t buffer_len;
+  int batch, depth, nthreads;
+  std::vector<std::vector<float>> buf;     // depth slots, batch*buffer_len
+  std::vector<std::vector<int32_t>> lens;  // depth slots, batch
+  std::vector<int> count;                  // files in slot
+  std::vector<int> err;                    // first error code of slot
+
+  std::mutex mu;
+  std::condition_variable cv;
+  std::deque<std::vector<std::string>> pending;
+  std::deque<int> free_slots, ready, acquired;
+  // the job currently being decoded (cooperative)
+  std::vector<std::string> cur;
+  int cur_slot = -1;
+  std::atomic<int> cur_next{0}, cur_done{0};
+  bool stop = false;
+  std::vector<std::thread> threads;
+
+  Prefetcher(int64_t L, int b, int d, int t)
+      : buffer_len(L), batch(b), depth(d), nthreads(t),
+        buf(d), lens(d), count(d, 0), err(d, 0) {
+    for (int i = 0; i < d; ++i) {
+      buf[i].resize((size_t)b * L);
+      lens[i].resize(b);
+      free_slots.push_back(i);
+    }
+    for (int i = 0; i < t; ++i) threads.emplace_back(&Prefetcher::run, this);
+  }
+
+  void run() {
+    while (true) {
+      int slot, idx, n;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv.wait(lk, [&] {
+          return stop ||
+                 (cur_slot >= 0 && cur_next.load() < (int)cur.size()) ||
+                 (cur_slot < 0 && !pending.empty() && !free_slots.empty());
+        });
+        if (stop) return;
+        if (cur_slot < 0) {  // start the next job
+          cur = std::move(pending.front());
+          pending.pop_front();
+          cur_slot = free_slots.front();
+          free_slots.pop_front();
+          cur_next.store(0);
+          cur_done.store(0);
+          err[cur_slot] = 0;
+          count[cur_slot] = (int)cur.size();
+          cv.notify_all();  // wake helpers
+        }
+        slot = cur_slot;
+        n = (int)cur.size();
+        idx = cur_next.fetch_add(1);
+        if (idx >= n) continue;  // lost the race; re-wait
+      }
+      // decode file `idx` of the active job, outside the lock
+      float* row = buf[slot].data() + (size_t)idx * buffer_len;
+      int got = decode_one(cur[idx].c_str(), row, buffer_len);
+      if (got < 0) {
+        lens[slot][idx] = 0;
+        std::memset(row, 0, (size_t)buffer_len * sizeof(float));
+        std::lock_guard<std::mutex> lk(mu);
+        if (err[slot] == 0) err[slot] = got;
+      } else {
+        lens[slot][idx] = got;
+        if (got < buffer_len)
+          std::memset(row + got, 0,
+                      (size_t)(buffer_len - got) * sizeof(float));
+      }
+      if (cur_done.fetch_add(1) + 1 == n) {  // last file → slot ready
+        std::lock_guard<std::mutex> lk(mu);
+        ready.push_back(slot);
+        cur_slot = -1;
+        cur.clear();
+        cv.notify_all();
+      }
+    }
+  }
+
+  ~Prefetcher() {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      stop = true;
+      cv.notify_all();
+    }
+    for (auto& t : threads) t.join();
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* pcaudio_prefetch_create(int64_t buffer_len, int batch, int depth,
+                              int num_threads) {
+  if (buffer_len <= 0 || batch <= 0 || depth <= 0) return nullptr;
+  if (num_threads < 1) num_threads = 1;
+  return new Prefetcher(buffer_len, batch, depth, num_threads);
+}
+
+int pcaudio_prefetch_submit(void* h, const char** paths, int n) {
+  auto* p = static_cast<Prefetcher*>(h);
+  if (!p || n < 0 || n > p->batch) return -100;
+  std::vector<std::string> job(paths, paths + n);
+  std::lock_guard<std::mutex> lk(p->mu);
+  p->pending.push_back(std::move(job));
+  p->cv.notify_all();
+  return 0;
+}
+
+// Blocks until the oldest submitted batch is decoded; returns its file
+// count (>=0) with *out/*lengths pointing INTO the slot (valid until the
+// matching release), or a negative error code.
+int pcaudio_prefetch_acquire(void* h, float** out, int32_t** lengths) {
+  auto* p = static_cast<Prefetcher*>(h);
+  if (!p) return -100;
+  std::unique_lock<std::mutex> lk(p->mu);
+  p->cv.wait(lk, [&] { return !p->ready.empty(); });
+  int slot = p->ready.front();
+  p->ready.pop_front();
+  p->acquired.push_back(slot);
+  *out = p->buf[slot].data();
+  *lengths = p->lens[slot].data();
+  return p->err[slot] != 0 ? p->err[slot] : p->count[slot];
+}
+
+int pcaudio_prefetch_release(void* h) {
+  auto* p = static_cast<Prefetcher*>(h);
+  if (!p) return -100;
+  std::lock_guard<std::mutex> lk(p->mu);
+  if (p->acquired.empty()) return -101;
+  p->free_slots.push_back(p->acquired.front());
+  p->acquired.pop_front();
+  p->cv.notify_all();
+  return 0;
+}
+
+void pcaudio_prefetch_destroy(void* h) {
+  delete static_cast<Prefetcher*>(h);
 }
 
 }  // extern "C"

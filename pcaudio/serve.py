@@ -103,10 +103,65 @@ class AudioClassifier:
         return np.argmax(lg, axis=-1), probs
 
     def classify_paths(self, paths: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
-        """Decode WAV files (native threaded decoder when available) and
-        classify, overlapping host decode of batch i+1 with device compute of
-        batch i — the production ingest path the reference's per-clip
-        ``librosa.load`` loop can't do (``Code/settransformer.py:43-47``)."""
+        """Decode WAV files and classify, overlapping host decode of upcoming
+        batches with device compute — the production ingest path the
+        reference's per-clip ``librosa.load`` loop can't do
+        (``Code/settransformer.py:43-47``).
+
+        Decode rides the native C++ prefetch pipeline when the toolchain is
+        available (``pcaudio/native``: thread-pool into a ring of slot
+        buffers, several batches in flight); otherwise a Python producer
+        thread with the threaded batch decoder."""
+        from pcaudio import native
+
+        if native.available():
+            gen = self._native_batches(paths)
+        else:
+            gen = self._python_batches(paths)
+        # Keep a small in-flight window of async device results: enough that
+        # the host never blocks on the device between dispatches, bounded so
+        # device buffers don't accumulate with the length of the path list.
+        window: List = []
+        done: List[np.ndarray] = []
+        MAX_IN_FLIGHT = 4
+        for waves, lengths, n in gen:
+            out = self._fn(self.params, jnp.asarray(waves), jnp.asarray(lengths))
+            window.append((out, n))  # dispatch is async; don't block here
+            if len(window) > MAX_IN_FLIGHT:
+                o, m = window.pop(0)
+                done.append(np.asarray(o)[:m])
+        done.extend(np.asarray(o)[:n] for o, n in window)
+        lg = np.concatenate(done, axis=0)
+        probs = np.asarray(jax.nn.softmax(jnp.asarray(lg), axis=-1))
+        return np.argmax(lg, axis=-1), probs
+
+    def _native_batches(self, paths: Sequence[str]):
+        """Batches via the C++ prefetch pipeline (depth batches in flight)."""
+        from pcaudio.native import PrefetchingLoader
+
+        groups = [list(paths[i: i + self.batch_size])
+                  for i in range(0, len(paths), self.batch_size)]
+        DEPTH = 3
+        with PrefetchingLoader(self.buffer_len, self.batch_size,
+                               depth=DEPTH) as pf:
+            submitted = 0
+            for submitted in range(min(DEPTH, len(groups))):
+                pf.submit(groups[submitted])
+            submitted += 1 if groups else 0
+            for gi, group in enumerate(groups):
+                waves, lengths, n = pf.next()
+                # materialize out of the slot: the consumer's device dispatch
+                # is async and jnp.asarray may alias host memory (CPU
+                # backend), so the view must not outlive the slot recycle
+                waves = waves.copy()
+                lengths = np.maximum(lengths, 1)  # floor for padded rows
+                yield waves, lengths, n
+                if submitted < len(groups):
+                    pf.submit(groups[submitted])
+                    submitted += 1
+
+    def _python_batches(self, paths: Sequence[str]):
+        """Fallback: one Python producer thread + threaded batch decode."""
         import queue
         import threading
 
@@ -131,26 +186,12 @@ class AudioClassifier:
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        # Keep a small in-flight window of async device results: enough that
-        # the host never blocks on the device between dispatches, bounded so
-        # device buffers don't accumulate with the length of the path list.
-        window: List = []
-        done: List[np.ndarray] = []
-        MAX_IN_FLIGHT = 4
         while True:
             item = q.get()
             if item is None:
                 break
             if isinstance(item, Exception):
+                t.join()
                 raise item
-            waves, lengths, n = item
-            out = self._fn(self.params, jnp.asarray(waves), jnp.asarray(lengths))
-            window.append((out, n))  # dispatch is async; don't block here
-            if len(window) > MAX_IN_FLIGHT:
-                o, m = window.pop(0)
-                done.append(np.asarray(o)[:m])
+            yield item
         t.join()
-        done.extend(np.asarray(o)[:n] for o, n in window)
-        lg = np.concatenate(done, axis=0)
-        probs = np.asarray(jax.nn.softmax(jnp.asarray(lg), axis=-1))
-        return np.argmax(lg, axis=-1), probs

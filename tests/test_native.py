@@ -79,3 +79,40 @@ def test_native_batch_threaded(tmp_path):
 def test_native_error_on_missing_file(tmp_path):
     with pytest.raises(RuntimeError):
         native.decode_wav_batch([str(tmp_path / "nope.wav")], 1024)
+
+
+def test_prefetching_loader(tmp_path):
+    """C++ prefetch pipeline: slots decode ahead, order preserved, zero-copy
+    views match the synchronous decoder, slot recycling works past depth."""
+    rng = np.random.default_rng(7)
+    groups, refs = [], []
+    for g in range(5):
+        ps = []
+        for i in range(3):
+            x = (0.7 * rng.uniform(-1, 1, 400 + 50 * g + 10 * i)
+                 ).astype(np.float32)
+            p = tmp_path / f"g{g}_{i}.wav"
+            _write_wav(p, x)
+            ps.append(str(p))
+        groups.append(ps)
+        refs.append(load_wav_batch(ps, 1024))
+    with native.PrefetchingLoader(1024, batch=3, depth=2,
+                                  num_threads=3) as pf:
+        for g in groups[:2]:
+            pf.submit(g)
+        for g in range(5):
+            waves, lengths, n = pf.next()
+            assert n == 3
+            rw, rl = refs[g]
+            np.testing.assert_array_equal(lengths[:3], rl)
+            np.testing.assert_allclose(waves[:3], rw, atol=1e-7)
+            if g + 2 < 5:
+                pf.submit(groups[g + 2])
+
+
+def test_prefetching_loader_error(tmp_path):
+    with native.PrefetchingLoader(512, batch=2, depth=1) as pf:
+        pf.submit([str(tmp_path / "missing_a.wav"),
+                   str(tmp_path / "missing_b.wav")])
+        with pytest.raises(RuntimeError):
+            pf.next()
