@@ -51,3 +51,22 @@ def local_batch_slice(global_batch: int) -> slice:
     per = global_batch // jax.process_count()
     start = jax.process_index() * per
     return slice(start, start + per)
+
+
+def global_batch_array(mesh: Mesh, local_tree):
+    """Assemble a globally-sharded batch from THIS host's local shard.
+
+    ``local_tree`` leaves are numpy arrays holding this process's slice of
+    the global batch (``local_batch_slice``); returns jax Arrays sharded
+    over the mesh ``data`` axis whose global shape is the concatenation
+    across processes.  This is the multi-host data-feeding primitive: each
+    host touches only its own data, XLA sees one global array.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(x):
+        x = np.asarray(x)
+        sharding = NamedSharding(mesh, P(DATA_AXIS))
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    return jax.tree.map(put, local_tree)
