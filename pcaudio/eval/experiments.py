@@ -29,6 +29,7 @@ accuracy is over ALL valid frames/chunks.
 from __future__ import annotations
 
 import math
+import os
 from typing import Callable, Dict, List, Optional, Sequence
 
 import jax
@@ -54,6 +55,41 @@ Array = jax.Array
 # process, shared across models and repeated experiment runs (a per-sweep-
 # point ``jax.jit(lambda ...)`` would recompile every iteration).
 _jit_featurize = jax.jit(featurize_batch, static_argnames=("cfg",))
+
+# Device-memory bound for classifier calls: the reference evaluates in
+# DataLoader batches (bs=8, ``Code/pceval.py:85``); a single call over the
+# whole test set materializes attention intermediates for every frame/chunk
+# at once (e.g. [Nb, h, m, N] for ISAB) and crashes the TPU compile at real
+# test-set sizes.  Frames (1025-pt clouds / dense rows) and temporal chunks
+# (5120-pt clouds) get separate budgets.
+_MB_FRAMES = int(os.environ.get("PCAUDIO_EVAL_MICROBATCH_FRAMES", "1024"))
+_MB_CHUNKS = int(os.environ.get("PCAUDIO_EVAL_MICROBATCH_CHUNKS", "256"))
+
+
+def _microbatched(fn, split_argnums: Sequence[int], bs: int):
+    """Apply ``fn`` over fixed-size axis-0 microbatches of the args named by
+    ``split_argnums`` (other args pass through), padding the last slice to
+    ``bs`` so every call hits the same compiled program, and concatenating
+    the outputs (sliced back to true length)."""
+    split = tuple(split_argnums)
+
+    def wrapped(*args):
+        n = args[split[0]].shape[0]
+        if n <= bs:
+            return fn(*args)
+        outs = []
+        for i in range(0, n, bs):
+            m = min(bs, n - i)
+            sl = list(args)
+            for j in split:
+                x = args[j][i: i + m]
+                if m < bs:
+                    x = jnp.pad(x, [(0, bs - m)] + [(0, 0)] * (x.ndim - 1))
+                sl[j] = x
+            outs.append(fn(*sl)[:m])
+        return jnp.concatenate(outs, axis=0)
+
+    return wrapped
 
 
 def default_list_N(Nfft: int, include_larger: bool = True) -> List[int]:
@@ -151,7 +187,7 @@ def framewise_expt1(
 
     out = {"data": {F: [] for F in list_Fs}, "list_Fs": list_Fs,
            "list_N": list_N}
-    jitted = jax.jit(frame_classifier)
+    jitted = _microbatched(jax.jit(frame_classifier), (0,), _MB_FRAMES)
     for F in list_Fs:
         for N in list_N:
             cfg = sweep_featurize_config(
@@ -193,7 +229,7 @@ def temporal_expt1(
 
     out = {"data": {F: [] for F in list_Fs}, "list_Fs": list_Fs,
            "list_N": list_N}
-    jitted = jax.jit(chunk_classifier)
+    jitted = _microbatched(jax.jit(chunk_classifier), (0,), _MB_CHUNKS)
     for F in list_Fs:
         for N in list_N:
             cfg = sweep_featurize_config(
@@ -256,10 +292,12 @@ def framewise_expt2(
         # selection + classification fused into ONE compiled program per K
         # (static arg) — no materialized intermediate clouds, no per-call
         # retrace across the nruns loop.
-        jrand = jax.jit(lambda k2, c, K: cloud_classifier(rand_k_points(k2, c, K)),
-                        static_argnums=2)
-        jmax = jax.jit(lambda c, K: cloud_classifier(top_k_points(c, K)),
-                       static_argnums=1)
+        jrand = _microbatched(
+            jax.jit(lambda k2, c, K: cloud_classifier(rand_k_points(k2, c, K)),
+                    static_argnums=2), (1,), _MB_FRAMES)
+        jmax = _microbatched(
+            jax.jit(lambda c, K: cloud_classifier(top_k_points(c, K)),
+                    static_argnums=1), (0,), _MB_FRAMES)
         for K in list_K:
             accs = []
             for r in range(nruns):
@@ -268,11 +306,12 @@ def framewise_expt2(
             rand_out["data"][K] = [float(np.mean(accs)), float(np.var(accs))]
             max_out["data"][K] = [_accuracy(jmax(clouds, K), flabels, valid), 0]
     elif mode == "replace":
-        jrand = jax.jit(
+        jrand = _microbatched(jax.jit(
             lambda k2, fr, fa, K: frame_classifier(rand_k_replace(k2, fr, K), fa),
-            static_argnums=3)
-        jmax = jax.jit(lambda fr, fa, K: frame_classifier(top_k_replace(fr, K), fa),
-                       static_argnums=2)
+            static_argnums=3), (1,), _MB_FRAMES)
+        jmax = _microbatched(jax.jit(
+            lambda fr, fa, K: frame_classifier(top_k_replace(fr, K), fa),
+            static_argnums=2), (0,), _MB_FRAMES)
         for K in list_K:
             accs = []
             for r in range(nruns):
@@ -330,10 +369,12 @@ def temporal_expt2(
 
     if mode == "cloud":
         clouds = grid_cloud(flat, farr, tarr)
-        jrand = jax.jit(lambda k2, c, K: cloud_classifier(rand_k_points(k2, c, K)),
-                        static_argnums=2)
-        jmax = jax.jit(lambda c, K: cloud_classifier(top_k_points(c, K)),
-                       static_argnums=1)
+        jrand = _microbatched(
+            jax.jit(lambda k2, c, K: cloud_classifier(rand_k_points(k2, c, K)),
+                    static_argnums=2), (1,), _MB_CHUNKS)
+        jmax = _microbatched(
+            jax.jit(lambda c, K: cloud_classifier(top_k_points(c, K)),
+                    static_argnums=1), (0,), _MB_CHUNKS)
         for K in list_K:
             accs = []
             for r in range(nruns):
@@ -343,13 +384,13 @@ def temporal_expt2(
             max_out["data"][K] = [
                 _accuracy(jmax(clouds, K), clabels, valid), 0]
     elif mode == "replace":
-        jrand = jax.jit(
+        jrand = _microbatched(jax.jit(
             lambda k2, fl, K: grid_classifier(
                 grid_top_k_replace(fl, K, flag="rand", key=k2)),
-            static_argnums=2)
-        jmax = jax.jit(
+            static_argnums=2), (1,), _MB_CHUNKS)
+        jmax = _microbatched(jax.jit(
             lambda fl, K: grid_classifier(grid_top_k_replace(fl, K, flag="max")),
-            static_argnums=1)
+            static_argnums=1), (0,), _MB_CHUNKS)
         for K in list_K:
             accs = []
             for r in range(nruns):
@@ -388,14 +429,14 @@ def rebut_importance_expt(
     )
     clouds = grid_cloud(flat, farr, tarr)
     jheat = jax.jit(importance_heatmap, static_argnames=("win_f",))
-    jrand = jax.jit(
+    jrand = _microbatched(jax.jit(
         lambda c, h, K, k2: cloud_classifier(
             importance_sample_cloud(c, h, K, choice=0, key=k2)),
-        static_argnums=2)
-    jmax = jax.jit(
+        static_argnums=2), (0, 1), _MB_CHUNKS)
+    jmax = _microbatched(jax.jit(
         lambda c, h, K: cloud_classifier(
             importance_sample_cloud(c, h, K, choice=1)),
-        static_argnums=2)
+        static_argnums=2), (0, 1), _MB_CHUNKS)
     rand_out = {"data": {int(w): {} for w in list_winF}, "list_K": list_K}
     max_out = {"data": {int(w): {} for w in list_winF}, "list_K": list_K}
     key = jax.random.key(seed)

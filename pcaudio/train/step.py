@@ -40,17 +40,24 @@ class TrainState:
 
 
 def make_train_step(
-    apply_fn: ApplyFn, optimizer: optax.GradientTransformation
+    apply_fn: ApplyFn, optimizer: optax.GradientTransformation,
+    remat: bool = False,
 ) -> Callable[[TrainState, Batch, Array], Tuple[TrainState, Dict[str, Array]]]:
     """Build an un-jitted train step.
 
     ``apply_fn(params, batch, rng) -> logits [B, nclass]``; ``batch`` must
     contain integer ``labels [B]``.
+
+    ``remat=True`` wraps the forward in ``jax.checkpoint`` — activations are
+    recomputed in the backward pass instead of stored, trading FLOPs for HBM
+    so large point budgets / batch sizes fit (SURVEY.md's HBM guidance; the
+    reference has no equivalent — it just OOMs).
     """
+    fwd = jax.checkpoint(apply_fn, static_argnums=()) if remat else apply_fn
 
     def step(state: TrainState, batch: Batch, rng: Array):
         def loss_fn(params):
-            logits = apply_fn(params, batch, rng)
+            logits = fwd(params, batch, rng)
             loss = optax.softmax_cross_entropy_with_integer_labels(
                 logits, batch["labels"]
             ).mean()

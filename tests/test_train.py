@@ -159,3 +159,31 @@ def test_multihost_global_mesh():
     assert mesh.shape["data"] * mesh.shape["set"] == 8
     s = local_batch_slice(64)
     assert s == slice(0, 64)  # single process owns the whole batch
+
+
+def test_remat_train_step_matches_plain():
+    """jax.checkpoint train step: identical updates, recomputed activations."""
+    from pcaudio.train import adam_l2
+
+    rng = np.random.default_rng(5)
+    model = ST(dim_input=2, dim_output=4, num_inds=4, dim_hidden=8,
+               num_heads=2)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 8, 2)))
+    opt = adam_l2(1e-3, weight_decay=1e-3)
+    batch = {
+        "points": jnp.asarray(rng.standard_normal((6, 12, 2)),
+                              dtype=jnp.float32),
+        "labels": jnp.asarray(rng.integers(0, 4, 6)),
+    }
+    apply = pointcloud_apply(model)
+    s0 = TrainState.create(params, opt)
+    key = jax.random.key(1)
+    plain = jax.jit(make_train_step(apply, opt))
+    remat = jax.jit(make_train_step(apply, opt, remat=True))
+    sp, mp = plain(s0, batch, key)
+    sr, mr = remat(s0, batch, key)
+    np.testing.assert_allclose(float(mp["loss"]), float(mr["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(sp.params), jax.tree.leaves(sr.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
