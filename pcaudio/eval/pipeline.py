@@ -217,8 +217,13 @@ def _chunk_logits(params, waves, lengths, model, cfg, use_fused_st):
     if use_fused_st:
         from pcaudio.ops.kernels.fused_st import fused_st_forward
 
+        # mask=None: in this pipeline the cloud mask is chunk-level constant
+        # (every point of a chunk valid or none — top-K clouds are always
+        # full), so invalid chunks just produce finite garbage logits that
+        # the chunk_mask weighting below drops; the mask-free kernel skips
+        # all in-kernel bias work
         logits = fused_st_forward(
-            params, cloud.points, cloud.mask, num_heads=model.num_heads,
+            params, cloud.points, None, num_heads=model.num_heads,
         ).reshape(B, C, -1)
     else:
         logits = model.apply(

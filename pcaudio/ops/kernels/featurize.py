@@ -189,8 +189,13 @@ def _kernel(len_ref, x_ref, w0_ref, w1_ref, p0a_ref, p0b_ref, out_ref,
     # Mosaic requires dynamic sublane offsets ≡ 0 (mod 8): the trim shift is
     # split into an aligned dynamic window read + an 8-way static-slice
     # switch for the residual.
-    scratch[...] = jnp.zeros(scratch.shape, scratch.dtype)  # garbage → finite
+    # zero only the rows the m2 write below does NOT cover (reads past the
+    # valid region must stay finite; a prior program's garbage there would
+    # poison masked chunks with NaN through the 0-weighted pooling)
     BASE = 8
+    scratch[0:BASE, :] = jnp.zeros((BASE, F), jnp.float32)
+    scratch[BASE + R - 1:, :] = jnp.zeros(
+        (scratch.shape[0] - (BASE + R - 1), F), jnp.float32)
     scratch[BASE: BASE + R - 1, :] = m2     # spectrum row r ↦ frame r+1
     # frame t = spectrum row (s0 + t − 1) = scratch row (BASE − 1 + s0) + t
     u = BASE - 1 + s0

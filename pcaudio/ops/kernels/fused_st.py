@@ -363,7 +363,8 @@ def _blockdiag2(w: Array) -> Array:
 
 
 def _make_kernel_v6(num_heads: int, dv: int, num_inds: int, din: int,
-                    ncls: int, block_b: int, K: int):
+                    ncls: int, block_b: int, K: int,
+                    has_mask: bool = True):
     """v6: pair-packed v4.  Two samples ride side-by-side on the lane axis
     (feature dim dv=64 → 2·dv=128), with block-diagonal weights keeping them
     independent.  Measured motivation (scripts/probe_lane_width.py, v5e):
@@ -412,9 +413,11 @@ def _make_kernel_v6(num_heads: int, dv: int, num_inds: int, din: int,
             2 * h * rows, dv2).astype(jnp.bfloat16)
 
     def pair_bias(mb_p, rows):
-        """mb_p [2, K] → [2·rows, K] (sample s's bias on its row block)."""
-        if _profile == "nobias":
-            return jnp.zeros((2 * rows, K), jnp.float32)
+        """mb_p [2, K] → [2·rows, K] (sample s's bias on its row block);
+        None when the kernel is compiled mask-free (serving: top-K clouds
+        are always full, invalid chunks dropped by chunk_mask downstream)."""
+        if not has_mask or _profile == "nobias":
+            return None
         return jnp.concatenate(
             [jnp.broadcast_to(mb_p[0:1], (rows, K)),
              jnp.broadcast_to(mb_p[1:2], (rows, K))], axis=0)
@@ -437,7 +440,9 @@ def _make_kernel_v6(num_heads: int, dv: int, num_inds: int, din: int,
             return iq2 + jnp.sum(v_p.astype(jnp.float32)) * 0.0
         lg = jax.lax.dot_general(
             iq_bd2, k_p, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale + bias
+            preferred_element_type=jnp.float32) * scale
+        if bias is not None:
+            lg = lg + bias
         a = softmax_rows(lg)
         av = jnp.dot(a.astype(jnp.bfloat16), v_p,
                      preferred_element_type=jnp.float32)   # [2·h·mq, dv2]
@@ -535,8 +540,10 @@ def _make_kernel_v6(num_heads: int, dv: int, num_inds: int, din: int,
         lg_all = jax.lax.dot_general(
             s_bd[...], kp, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale     # [2h, P·K]
-        lg4 = lg_all.reshape(2 * h, P, K) + mb.transpose(1, 0, 2).reshape(
-            2, 1, P, K).repeat(h, axis=1).reshape(2 * h, P, K)
+        lg4 = lg_all.reshape(2 * h, P, K)
+        if has_mask and _profile != "nobias":
+            lg4 = lg4 + mb.transpose(1, 0, 2).reshape(
+                2, 1, P, K).repeat(h, axis=1).reshape(2 * h, P, K)
         a4 = softmax_rows(lg4)                              # softmax over K
         a_p = a4.transpose(1, 0, 2)                         # [P, 2h, K] tiny
         av = jax.lax.dot_general(
@@ -668,7 +675,8 @@ def fused_st_forward(
         pts_p = jnp.concatenate([points[:Pn], points[Pn:]], axis=-1)
         mb_p = jnp.stack([maskbias[:Pn], maskbias[Pn:]], axis=1)
         w6 = _pack_weights_v6(w, num_heads, dv, m, ncls)
-        kernel = _make_kernel_v6(num_heads, dv, m, din, ncls, block_b, K)
+        kernel = _make_kernel_v6(num_heads, dv, m, din, ncls, block_b, K,
+                                 has_mask=mask is not None)
         out = pl.pallas_call(
             kernel,
             interpret=interpret,
