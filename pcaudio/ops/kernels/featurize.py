@@ -87,23 +87,47 @@ def _kernel(len_ref, x_ref, w0_ref, w1_ref, p0a_ref, p0b_ref, out_ref,
 
         # right reflect corrections: frames whose 2048-window crosses
         # `length` mirror a tail window ending at length-2 (trim.py).  They
-        # are ≤4 frames; each needs Σ xsq over [length-1-w, length-1) —
-        # masked sums over the resident rows (Mosaic has no value
-        # dynamic_slice, and staging xsq through the scratch for a windowed
-        # read crashes the Mosaic compiler; 4 full ~220K-element VPU passes
-        # measured ≤1 ms at serving batch).
+        # are ≤4 frames; each needs Σ xsq over [length-1-w, length-1).
+        # Computed as prefix-sum differences S(hi) − S(lo): the block-level
+        # prefix comes from a strict-lower-triangular matvec over eb (MXU),
+        # the sample-level residue from a one-hot row extraction + lane-
+        # masked sum — ~5 tiny matmuls instead of 4 full passes over the
+        # clip (Mosaic has no value dynamic_slice, and staging xsq through
+        # the scratch for a windowed read crashes the remote compiler).
+        lt = (jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+              < jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+              ).astype(jnp.float32)
+        eb_ex = jnp.dot(lt, eb, preferred_element_type=jnp.float32)  # [R,1]
+        rio = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+        rioh = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, hop), 1)
+
+        def prefix(u):
+            """Σ_{sidx < u} xsq (valid-masked), u ∈ [0, R·hop]."""
+            u = jnp.clip(u, 0, R * hop)
+            r = u // hop
+            c = u - r * hop
+            full = jnp.sum(jnp.where(rio == r, eb_ex, 0.0))
+            row = jnp.dot((rioh == r).astype(jnp.float32), xsq,
+                          preferred_element_type=jnp.float32)  # [1, hop]
+            part = jnp.sum(jnp.where(lane1 < c, row, 0.0))
+            # u == R·hop has r == R: every eb counted via r-1 fallthrough
+            full = jnp.where(r >= R, jnp.sum(eb), full)
+            return full + jnp.where(r >= R, 0.0, part)
+
         tail = 2048 + hop
         wstart = jnp.clip(length - tail, 0, L - tail)
         offl = length - wstart
+        hi = wstart + jnp.clip(offl - 1, 0, tail)
+        s_hi = prefix(hi)
         t_first = (length - 2048 + 1024) // hop + 1  # first t with b > length
         for j in range(4):
             t_j = t_first + j
             a_j = t_j * hop - 1024
             b_j = a_j + 2048
             w_j = jnp.clip(b_j - length, 0, 2048)
-            hi = wstart + jnp.clip(offl - 1, 0, tail)
             lo = wstart + jnp.clip(offl - 1 - w_j, 0, tail)
-            val = jnp.sum(jnp.where((sidx >= lo) & (sidx < hi), xsq, 0.0))
+            val = s_hi - prefix(lo)
             ok = (b_j > length) & (a_j < length) & (t_j >= 0) & (t_j < T)
             main = main + jnp.where((tio == t_j) & ok, val, 0.0)
 
