@@ -57,3 +57,32 @@ def test_fused_st_all_masked_rows_finite():
     ref = model.apply(params, pts, mask=mask)
     np.testing.assert_allclose(np.asarray(got)[[0, 2]],
                                np.asarray(ref)[[0, 2]], atol=5e-2, rtol=5e-2)
+
+
+@pytest.mark.parametrize("B", [1, 17, 16])
+def test_fused_st_odd_batch_sizes(B):
+    """Pair packing + block padding across awkward batch sizes."""
+    rng = np.random.default_rng(B)
+    model = ST(dim_input=3, dim_output=10, num_inds=8, dim_hidden=16,
+               num_heads=4)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 8, 3)))
+    pts = jnp.asarray(rng.standard_normal((B, 24, 3)).astype(np.float32))
+    ref = model.apply(params, pts)
+    got = fused_st_forward(params, pts, None, num_heads=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-2, rtol=5e-2)
+
+
+def test_fused_st_mask_free_variant_matches_masked_on_full_masks():
+    """The mask-free compile (serving) equals the masked kernel when every
+    point is valid."""
+    rng = np.random.default_rng(3)
+    model = ST(dim_input=3, dim_output=10, num_inds=8, dim_hidden=16,
+               num_heads=4)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 8, 3)))
+    pts = jnp.asarray(rng.standard_normal((18, 24, 3)).astype(np.float32))
+    full = jnp.ones((18, 24), bool)
+    a = fused_st_forward(params, pts, None, num_heads=4)
+    b = fused_st_forward(params, pts, full, num_heads=4)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-5, rtol=1e-5)
