@@ -1,0 +1,62 @@
+"""Exact top-K selection kernel == lax.top_k as a SET, incl. ties (CPU
+interpret mode)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pcaudio.ops.kernels.select import exact_topk_chunks
+
+
+def _ref_sets(mags, K):
+    N, Nt, F = mags.shape
+    flat = np.asarray(mags, np.float64).reshape(N, Nt * F)
+    out = []
+    for i in range(N):
+        _, idx = jax.lax.top_k(jnp.asarray(flat[i]), K)
+        out.append(set(np.asarray(idx).tolist()))
+    return out
+
+
+@pytest.mark.parametrize("shape,K", [
+    ((5, 10, 512), 128),   # serving config
+    ((3, 10, 512), 256),
+    ((4, 4, 128), 128),    # K == Nt*F/4
+])
+def test_exact_topk_matches_lax(shape, K):
+    rng = np.random.default_rng(0)
+    mags = jnp.asarray(np.abs(rng.standard_normal(shape)).astype(np.float32))
+    vals, idx = exact_topk_chunks(mags, K)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    flat = np.asarray(mags).reshape(shape[0], -1)
+    refs = _ref_sets(mags, K)
+    for i in range(shape[0]):
+        got = set(idx[i].tolist())
+        assert len(got) == K, f"chunk {i}: duplicate output slots"
+        assert got == refs[i], f"chunk {i}: set mismatch"
+        np.testing.assert_array_equal(vals[i], flat[i][idx[i]])
+        # ascending flat-index order
+        assert (np.diff(idx[i]) > 0).all()
+
+
+def test_exact_topk_ties_take_first():
+    """Many equal values: the kernel keeps the lowest flat indices, exactly
+    like lax.top_k."""
+    N, Nt, F, K = 2, 4, 128, 128
+    mags = np.full((N, Nt, F), 0.5, np.float32)
+    mags[0, 0, :4] = 2.0          # 4 clear winners, 124 ties at 0.5
+    mags[1, 3, -1] = 7.0
+    vals, idx = exact_topk_chunks(jnp.asarray(mags), K)
+    idx = np.asarray(idx)
+    ref = _ref_sets(jnp.asarray(mags), K)
+    for i in range(N):
+        assert set(idx[i].tolist()) == ref[i]
+
+
+def test_exact_topk_zero_chunks_finite():
+    mags = jnp.zeros((3, 10, 512), jnp.float32)
+    vals, idx = exact_topk_chunks(mags, 128)
+    assert np.isfinite(np.asarray(vals)).all()
+    # all-zero: ties at 0.0 → first 128 flat indices
+    np.testing.assert_array_equal(np.asarray(idx)[0], np.arange(128))
