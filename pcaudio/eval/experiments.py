@@ -66,19 +66,27 @@ _MB_FRAMES = int(os.environ.get("PCAUDIO_EVAL_MICROBATCH_FRAMES", "1024"))
 _MB_CHUNKS = int(os.environ.get("PCAUDIO_EVAL_MICROBATCH_CHUNKS", "256"))
 
 
-def _microbatched(fn, split_argnums: Sequence[int], bs: int):
+def _microbatched(fn, split_argnums: Sequence[int], bs: int,
+                  key_argnums: Sequence[int] = ()):
     """Apply ``fn`` over fixed-size axis-0 microbatches of the args named by
     ``split_argnums`` (other args pass through), padding the last slice to
     ``bs`` so every call hits the same compiled program, and concatenating
-    the outputs (sliced back to true length)."""
+    the outputs (sliced back to true length).
+
+    PRNG-key args named by ``key_argnums`` are folded with the microbatch
+    index (``jax.random.fold_in``) so random subsampling draws are
+    independent across microbatches — reusing one key would repeat the same
+    per-row selection pattern every ``bs`` rows, correlating results that
+    the reference methodology draws i.i.d. over the whole test set."""
     split = tuple(split_argnums)
+    keys = tuple(key_argnums)
 
     def wrapped(*args):
         n = args[split[0]].shape[0]
         if n <= bs:
             return fn(*args)
         outs = []
-        for i in range(0, n, bs):
+        for mb, i in enumerate(range(0, n, bs)):
             m = min(bs, n - i)
             sl = list(args)
             for j in split:
@@ -86,6 +94,8 @@ def _microbatched(fn, split_argnums: Sequence[int], bs: int):
                 if m < bs:
                     x = jnp.pad(x, [(0, bs - m)] + [(0, 0)] * (x.ndim - 1))
                 sl[j] = x
+            for j in keys:
+                sl[j] = jax.random.fold_in(args[j], mb)
             outs.append(fn(*sl)[:m])
         return jnp.concatenate(outs, axis=0)
 
@@ -294,7 +304,7 @@ def framewise_expt2(
         # retrace across the nruns loop.
         jrand = _microbatched(
             jax.jit(lambda k2, c, K: cloud_classifier(rand_k_points(k2, c, K)),
-                    static_argnums=2), (1,), _MB_FRAMES)
+                    static_argnums=2), (1,), _MB_FRAMES, key_argnums=(0,))
         jmax = _microbatched(
             jax.jit(lambda c, K: cloud_classifier(top_k_points(c, K)),
                     static_argnums=1), (0,), _MB_FRAMES)
@@ -308,7 +318,7 @@ def framewise_expt2(
     elif mode == "replace":
         jrand = _microbatched(jax.jit(
             lambda k2, fr, fa, K: frame_classifier(rand_k_replace(k2, fr, K), fa),
-            static_argnums=3), (1,), _MB_FRAMES)
+            static_argnums=3), (1,), _MB_FRAMES, key_argnums=(0,))
         jmax = _microbatched(jax.jit(
             lambda fr, fa, K: frame_classifier(top_k_replace(fr, K), fa),
             static_argnums=2), (0,), _MB_FRAMES)
@@ -371,7 +381,7 @@ def temporal_expt2(
         clouds = grid_cloud(flat, farr, tarr)
         jrand = _microbatched(
             jax.jit(lambda k2, c, K: cloud_classifier(rand_k_points(k2, c, K)),
-                    static_argnums=2), (1,), _MB_CHUNKS)
+                    static_argnums=2), (1,), _MB_CHUNKS, key_argnums=(0,))
         jmax = _microbatched(
             jax.jit(lambda c, K: cloud_classifier(top_k_points(c, K)),
                     static_argnums=1), (0,), _MB_CHUNKS)
@@ -387,7 +397,7 @@ def temporal_expt2(
         jrand = _microbatched(jax.jit(
             lambda k2, fl, K: grid_classifier(
                 grid_top_k_replace(fl, K, flag="rand", key=k2)),
-            static_argnums=2), (1,), _MB_CHUNKS)
+            static_argnums=2), (1,), _MB_CHUNKS, key_argnums=(0,))
         jmax = _microbatched(jax.jit(
             lambda fl, K: grid_classifier(grid_top_k_replace(fl, K, flag="max")),
             static_argnums=1), (0,), _MB_CHUNKS)
@@ -432,7 +442,7 @@ def rebut_importance_expt(
     jrand = _microbatched(jax.jit(
         lambda c, h, K, k2: cloud_classifier(
             importance_sample_cloud(c, h, K, choice=0, key=k2)),
-        static_argnums=2), (0, 1), _MB_CHUNKS)
+        static_argnums=2), (0, 1), _MB_CHUNKS, key_argnums=(3,))
     jmax = _microbatched(jax.jit(
         lambda c, h, K: cloud_classifier(
             importance_sample_cloud(c, h, K, choice=1)),

@@ -1,5 +1,17 @@
 """Fully-fused Set Transformer forward: the whole ST model in one Pallas
-kernel (production serving kernel, design v4).
+kernel.  Two kernels live here, each with a caller:
+
+  * **v6** (``_make_kernel_v6``) — the production serving kernel:
+    pair-packed on the lane axis, serving fast-softmax, optionally
+    mask-free.  Default for ``fused_st_forward``.
+  * **v4** (``_make_kernel``) — the masked/guarded-softmax fallback with
+    exact max-subtract softmax and fully-masked-cloud zeroing: the
+    checkpoint-faithful path used by parity tests and any caller that
+    needs per-point masks honored in-kernel (``fast_softmax=False``).
+
+(v5 — batched ``dot_general`` over the sample block — was a measured dead
+end: Mosaic lowers batched dots to the same per-sample ops, so it saved
+nothing; see docs/PERFORMANCE.md.  Removed.)
 
 Why fused: at serving batch sizes the XLA path is bound by HBM round-trips of
 attention intermediates at ~150 GB/s effective (measured on v5e: softmax over
@@ -235,120 +247,6 @@ def _make_kernel(num_heads: int, dv: int, num_inds: int, din: int,
             ps.append(mab0_attend(s_bd[...], s_dense[...], kp[sl], vp[sl],
                                   mb[s][None, :]))
         P = rff_block(jnp.concatenate(ps, axis=0), opw[...], opb[...])
-        out_ref[:] = (jnp.dot(P.astype(jnp.bfloat16), dw[...],
-                              preferred_element_type=jnp.float32) + db[...])
-
-    return kernel
-
-
-def _make_kernel_v5(num_heads: int, dv: int, num_inds: int, din: int,
-                    ncls: int, block_b: int, K: int):
-    """v5: every attend stage batched over the sample block with Mosaic's
-    batched ``dot_general`` — 3 batched dots + 1 batched softmax replace
-    ``block_b`` unrolled per-sample loops per stage.  v4's per-op overhead
-    (~0.1 µs × ~170 ops/block) was the serving bottleneck at these tiny
-    model dims; v5 runs ~30 ops per block."""
-    h, m, bb = num_heads, num_inds, block_b
-    dh = dv // h
-    scale = 1.0 / math.sqrt(dv)
-
-    def colmask4():
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1, dv), 3)
-        head = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1, dv), 1)
-        return (lane // dh == head).astype(jnp.float32)
-
-    def softmax_rows(lg, guard):
-        mx = jnp.max(lg, axis=-1, keepdims=True)
-        p = jnp.exp(lg - mx)
-        if guard:
-            p = jnp.where(lg <= _MASK_VALUE * 0.5, 0.0, p)
-            denom = jnp.sum(p, axis=-1, keepdims=True)
-            return p * jnp.where(denom == 0.0, 0.0,
-                                 1.0 / jnp.where(denom == 0.0, 1.0, denom))
-        return p / jnp.sum(p, axis=-1, keepdims=True)
-
-    def bdot(a, b, contract_b):
-        return jax.lax.dot_general(
-            a, b, dimension_numbers=(((2,), (contract_b,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-
-    def head_sum(av, rows):
-        """[bb, h·rows, dv] → [bb, rows, dv]."""
-        return jnp.sum(av.reshape(bb, h, rows, dv) * colmask4(), axis=1)
-
-    def bd_rows(q, rows):
-        """[bb, rows, dv] f32 → block-diagonal [bb, h·rows, dv] bf16."""
-        return (q[:, None, :, :] * colmask4()).reshape(
-            bb, h * rows, dv).astype(jnp.bfloat16)
-
-    def rff_block(o, Wo, bo):
-        return o + jnp.maximum(
-            jnp.dot(o.astype(jnp.bfloat16), Wo,
-                    preferred_element_type=jnp.float32) + bo, 0.0)
-
-    def attend_shared_q(iq_bd, iq, kb, vb, mb, mq):
-        """Batched MAB0/PMA attend: shared queries, per-sample keys/values.
-        iq_bd [h·mq, dv] bf16, iq [mq, dv] f32, kb/vb [bb, K, dv] bf16,
-        mb [bb, K] bias.  → [bb, mq, dv] f32 (pre-rFF residual)."""
-        iq_b = jnp.broadcast_to(iq_bd[None], (bb, h * mq, dv))
-        lg = bdot(iq_b, kb, 2) * scale + mb[:, None, :]     # [bb, h·mq, K]
-        a = softmax_rows(lg, guard=True)
-        av = bdot(a.astype(jnp.bfloat16), vb, 1)            # [bb, h·mq, dv]
-        return iq[None] + head_sum(av, mq)
-
-    def attend_per_q(qb, k1, v1):
-        """Batched MAB1 attend: per-sample queries → inducing summaries.
-        qb [bb, K, dv] f32, k1/v1 [bb, m, dv] bf16.  → [bb, K, dv] f32."""
-        lg = bdot(bd_rows(qb, K), k1, 2) * scale            # [bb, h·K, m]
-        a = softmax_rows(lg, guard=False)
-        av = bdot(a.astype(jnp.bfloat16), v1, 1)            # [bb, h·K, dv]
-        return qb + head_sum(av, K)
-
-    def isab_block(x_blk, mb, iq_bd, iq, k0w, k0b, v0w, v0b, o0w, o0b,
-                   q1w, q1b, k1w, k1b, v1w, v1b, o1w, o1b):
-        kb = (jnp.dot(x_blk, k0w, preferred_element_type=jnp.float32)
-              + k0b).astype(jnp.bfloat16).reshape(bb, K, dv)
-        vb = (jnp.dot(x_blk, v0w, preferred_element_type=jnp.float32)
-              + v0b).astype(jnp.bfloat16).reshape(bb, K, dv)
-        o0 = attend_shared_q(iq_bd, iq, kb, vb, mb, m)
-        H = rff_block(o0.reshape(bb * m, dv), o0w, o0b)     # [bb·m, dv]
-        qb = (jnp.dot(x_blk, q1w, preferred_element_type=jnp.float32)
-              + q1b).reshape(bb, K, dv)
-        Hb = H.astype(jnp.bfloat16)
-        k1 = (jnp.dot(Hb, k1w, preferred_element_type=jnp.float32)
-              + k1b).astype(jnp.bfloat16).reshape(bb, m, dv)
-        v1 = (jnp.dot(Hb, v1w, preferred_element_type=jnp.float32)
-              + v1b).astype(jnp.bfloat16).reshape(bb, m, dv)
-        o1 = attend_per_q(qb, k1, v1)
-        return rff_block(o1.reshape(bb * K, dv), o1w, o1b)
-
-    def kernel(points_ref, maskbias_ref,
-               i1_bd, i1, k10w, k10b, v10w, v10b, o10w, o10b,
-               q11w, q11b, k11w, k11b, v11w, v11b, o11w, o11b,
-               i2_bd, i2, k20w, k20b, v20w, v20b, o20w, o20b,
-               q21w, q21b, k21w, k21b, v21w, v21b, o21w, o21b,
-               s_bd, s_dense, kpw, kpb, vpw, vpb, opw, opb,
-               dw, db,
-               out_ref):
-        x = points_ref[:].reshape(bb * K, din).astype(jnp.bfloat16)
-        mb = maskbias_ref[:]
-        x1 = isab_block(x, mb, i1_bd[...], i1[...],
-                        k10w[...], k10b[...], v10w[...], v10b[...],
-                        o10w[...], o10b[...],
-                        q11w[...], q11b[...], k11w[...], k11b[...],
-                        v11w[...], v11b[...], o11w[...], o11b[...])
-        x2 = isab_block(x1.astype(jnp.bfloat16), mb, i2_bd[...], i2[...],
-                        k20w[...], k20b[...], v20w[...], v20b[...],
-                        o20w[...], o20b[...],
-                        q21w[...], q21b[...], k21w[...], k21b[...],
-                        v21w[...], v21b[...], o21w[...], o21b[...])
-        x2b = x2.astype(jnp.bfloat16)
-        kp = (jnp.dot(x2b, kpw[...], preferred_element_type=jnp.float32)
-              + kpb[...]).astype(jnp.bfloat16).reshape(bb, K, dv)
-        vp = (jnp.dot(x2b, vpw[...], preferred_element_type=jnp.float32)
-              + vpb[...]).astype(jnp.bfloat16).reshape(bb, K, dv)
-        P = attend_shared_q(s_bd[...], s_dense[...], kp, vp, mb, 1)
-        P = rff_block(P.reshape(bb, dv), opw[...], opb[...])
         out_ref[:] = (jnp.dot(P.astype(jnp.bfloat16), dw[...],
                               preferred_element_type=jnp.float32) + db[...])
 
@@ -695,11 +593,9 @@ def fused_st_forward(
         out = jnp.concatenate([out[:, :ncls], out[:, ncls:]], axis=0)
         return out[:B]
 
-    if variant == "v5":
-        kernel = _make_kernel_v5(num_heads, dv, m, din, ncls, block_b, K)
-    else:
-        kernel = _make_kernel(num_heads, dv, m, din, ncls, block_b, K,
-                              fast_softmax=fast_softmax)
+    assert variant == "v4", f"unknown fused-ST variant {variant!r}"
+    kernel = _make_kernel(num_heads, dv, m, din, ncls, block_b, K,
+                          fast_softmax=fast_softmax)
 
     out = pl.pallas_call(
         kernel,

@@ -143,18 +143,26 @@ def _kernel(x_ref, ov_ref, oi_ref, *, bc, Nt, F, K):
     payload = jnp.stack([h1, h2, h3, ihi, ilo], axis=1
                         ).astype(jnp.bfloat16)            # [bc, 5, NtF]
     rank_key = jnp.where(w, rank.astype(jnp.int32), -1).reshape(bc, Nt * F)
+    # Piece the flat axis so the one-hot scatter tensor S stays VMEM-sized.
+    # Piece length is ceil-divided then lane-aligned, and the LAST piece
+    # covers the remainder — every flat element is scattered even when
+    # Nt·F does not divide evenly (a truncating split silently dropped
+    # tail winners for e.g. Nt·F=8192 → 3 pieces of 2730).
     n_pieces = max(1, (Nt * F) // 2560)
-    piece = Nt * F // n_pieces
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (bc, piece, K), 2)
+    piece = -(-(Nt * F) // n_pieces)
+    piece = -(-piece // 128) * 128
     out = jnp.zeros((bc, 5, K), jnp.float32)
-    for p in range(n_pieces):
-        sl = slice(p * piece, (p + 1) * piece)
-        S = (jnp.expand_dims(rank_key[:, sl], -1) == k_iota
+    lo = 0
+    while lo < Nt * F:
+        hi = min(lo + piece, Nt * F)
+        k_iota = jax.lax.broadcasted_iota(jnp.int32, (bc, hi - lo, K), 2)
+        S = (jnp.expand_dims(rank_key[:, lo:hi], -1) == k_iota
              ).astype(jnp.bfloat16)
         out = out + jax.lax.dot_general(
-            payload[:, :, sl], S,
+            payload[:, :, lo:hi], S,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)           # [bc, 5, K]
+        lo = hi
     ov_ref[...] = out[:, 0, :] + out[:, 1, :] + out[:, 2, :]
     oi_ref[...] = (out[:, 3, :] * 256.0 + out[:, 4, :]).astype(jnp.int32)
 

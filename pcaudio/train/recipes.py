@@ -8,7 +8,8 @@ into the model's training arrays — all featurization on device.
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+import os
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -115,9 +116,25 @@ def prepare_temporal_data(
     return {"x": flat, "labels": clabels.astype(np.int32)}
 
 
-def build_trainer(cfg: ExperimentConfig, dtype=None) -> Tuple:
-    """(model, apply_fn, optimizer) for a recipe config."""
-    model = cfg.build_model(dtype=dtype)
+def build_trainer(cfg: ExperimentConfig, dtype=None,
+                  fused_attn: Optional[bool] = None) -> Tuple:
+    """(model, apply_fn, optimizer) for a recipe config.
+
+    ``fused_attn`` — route the set models' attention through the trainable
+    Pallas kernels (custom-VJP fwd+bwd, ``ops/kernels/mha.py``; 22.5 →
+    14.1 ms/step on the FST recipe, v5e).  Default (None): ON on TPU, OFF
+    elsewhere (the kernels fall back to interpret mode off-TPU — correct
+    but slow); override either way with ``PCAUDIO_FUSED_ATTN=0/1``.
+    Gradient parity vs the XLA path: tests/test_fused_mha_grad.py; recipe
+    convergence agreement: tests/test_train.py.
+    """
+    if fused_attn is None:
+        env = os.environ.get("PCAUDIO_FUSED_ATTN")
+        if env is not None:
+            fused_attn = env == "1"
+        else:
+            fused_attn = jax.default_backend() == "tpu"
+    model = cfg.build_model(dtype=dtype, fused_attn=fused_attn)
     if cfg.architecture in (ARCH_FST, ARCH_3ST):
         apply_fn = pointcloud_apply(model)
     else:

@@ -12,7 +12,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("variants", nargs="*", default=["v4", "v5"])
+    ap.add_argument("variants", nargs="*", default=["v4", "v6"])
     ap.add_argument("--nchunks", type=int, default=5504)
     ap.add_argument("--k", type=int, default=128)
     ap.add_argument("--block-b", type=int, default=16)
@@ -37,8 +37,8 @@ def main():
     def sync(x):
         return float(jnp.sum(x))
 
-    for name in args.variants or ["v2", "v4"]:
-        if name in ("v2", "v4", "v5", "v6", "fused"):
+    for name in args.variants or ["v4", "v6"]:
+        if name in ("v4", "v6", "fused"):
             from pcaudio.ops.kernels.fused_st import fused_st_forward as f
             fn = jax.jit(lambda p, x, m, v=name: f(p, x, m, num_heads=8,
                                            block_b=args.block_b,

@@ -23,6 +23,7 @@ def _ref_sets(mags, K):
     ((5, 10, 512), 128),   # serving config
     ((3, 10, 512), 256),
     ((4, 4, 128), 128),    # K == Nt*F/4
+    ((3, 16, 512), 128),   # Nt*F=8192: 3 scatter pieces, non-dividing
 ])
 def test_exact_topk_matches_lax(shape, K):
     rng = np.random.default_rng(0)

@@ -72,6 +72,37 @@ def test_st_learns_synthetic():
     assert int(state.step) == 60
 
 
+def test_recipe_fused_attn_convergence_matches_xla():
+    """build_trainer(fused_attn=True) — the TPU-default training path —
+    produces the same loss curve as the XLA attention over real optimizer
+    steps (Pallas custom-VJP kernels in interpret mode on CPU)."""
+    from pcaudio.core.config import ARCH_FST, ExperimentConfig
+    from pcaudio.train import build_trainer
+
+    cfg = ExperimentConfig(architecture=ARCH_FST, window_size=2048,
+                           dhidden=16, nheads=4, ninds=8, batch_size=32,
+                           learning_rate=1e-3, weight_decay=1e-3, epochs=1)
+    rng = np.random.default_rng(7)
+    pts, lbl = _synthetic_sets(rng, 32, k=16)
+    batch = {"points": jnp.asarray(pts), "labels": jnp.asarray(lbl)}
+
+    curves = {}
+    for fused in (False, True):
+        model, apply_fn, opt = build_trainer(cfg, fused_attn=fused)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 16, 2)))
+        state = TrainState.create(params, opt)
+        step = jit_train_step(make_train_step(apply_fn, opt),
+                              donate_state=False)
+        losses = []
+        for i in range(15):
+            state, metrics = step(state, batch, jax.random.key(i))
+            losses.append(float(metrics["loss"]))
+        curves[fused] = losses
+    np.testing.assert_allclose(curves[True], curves[False],
+                               rtol=0.05, atol=0.02)
+    assert curves[True][-1] < curves[True][0] * 0.7  # actually learning
+
+
 def test_baseline_ff_dropout_train_step():
     rng = np.random.default_rng(2)
     x = rng.standard_normal((16, 32)).astype(np.float32)
