@@ -60,6 +60,18 @@ class TemporalPipelineConfig:
     # (``Code/paper_plots/*_expt2.json``) show accuracy is insensitive to
     # far larger selection perturbations than this recall miss.
     approx_recall: float = 0.9
+    # exact-mode selection engine for the fused featurize path.  None (auto):
+    # the sort-free exact Pallas kernel (ops/kernels/select.py) on TPU, the
+    # two-stage XLA top-k elsewhere.  True/False force either (True off-TPU
+    # runs the kernel in interpret mode — tests only).  The kernel selects
+    # the identical set to ``lax.top_k`` (take-first-on-ties), emitted in
+    # ascending flat-index order; every consumer is permutation-invariant.
+    exact_kernel: Optional[bool] = None
+
+    def _use_exact_kernel(self) -> bool:
+        if self.exact_kernel is not None:
+            return self.exact_kernel
+        return jax.default_backend() == "tpu"
 
     def featurize_config(self) -> FeaturizeConfig:
         return FeaturizeConfig(
@@ -159,6 +171,16 @@ def _extract_fused(waves: Array, lengths: Array,
     if approx:
         vals2, idx = jax.lax.approx_max_k(mags, k,
                                           recall_target=cfg.approx_recall)
+    elif cfg._use_exact_kernel() and F % 128 == 0:
+        # sort-free exact top-K Pallas kernel: same selected SET as
+        # ``lax.top_k`` (ties resolved take-first in flat order), ascending
+        # flat-index output order.  Squared magnitudes are non-negative by
+        # construction — the kernel's IEEE-code threshold search requires it.
+        from pcaudio.ops.kernels.select import exact_topk_chunks
+
+        ev, ei = exact_topk_chunks(m2.reshape(B * C, Nt, F), k)
+        vals2 = ev.reshape(B, C, k)
+        idx = ei.reshape(B, C, k)
     elif k <= F:
         v1, i1 = jax.lax.top_k(m2.reshape(B, C, Nt, F), k)
         flat_i = i1 + jnp.arange(Nt)[None, None, :, None] * F

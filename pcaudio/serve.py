@@ -121,15 +121,20 @@ class AudioClassifier:
         # Keep a small in-flight window of async device results: enough that
         # the host never blocks on the device between dispatches, bounded so
         # device buffers don't accumulate with the length of the path list.
+        # H2D is double-buffered: batch t's device_put is issued (async)
+        # BEFORE blocking on batch t-W's result, so the copy engine runs
+        # under the in-flight compute instead of after it.
         window: List = []
         done: List[np.ndarray] = []
         MAX_IN_FLIGHT = 4
         for waves, lengths, n in gen:
-            out = self._fn(self.params, jnp.asarray(waves), jnp.asarray(lengths))
-            window.append((out, n))  # dispatch is async; don't block here
-            if len(window) > MAX_IN_FLIGHT:
+            dw = jax.device_put(waves)
+            dl = jax.device_put(lengths)
+            if len(window) >= MAX_IN_FLIGHT:
                 o, m = window.pop(0)
                 done.append(np.asarray(o)[:m])
+            out = self._fn(self.params, dw, dl)
+            window.append((out, n))  # dispatch is async; don't block here
         done.extend(np.asarray(o)[:n] for o, n in window)
         lg = np.concatenate(done, axis=0)
         probs = np.asarray(jax.nn.softmax(jnp.asarray(lg), axis=-1))

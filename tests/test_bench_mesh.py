@@ -42,3 +42,27 @@ def test_bench_mesh_8_runs_and_reports():
     assert out["unit"] == "clips/sec/chip"
     assert out["config"]["mesh"] == 8
     assert out["value"] > 0
+
+
+def test_bench_mesh_fused_kernels_under_shard_map():
+    """The FUSED serving path (Pallas featurize + pair-packed ST, interpret
+    mode on CPU) must compile and run under shard_map on the virtual mesh —
+    exactly what multi-chip serving does on real hardware."""
+    env = _env(8)
+    env.update({
+        "PCAUDIO_BENCH_FUSED": "1",
+        "PCAUDIO_BENCH_BATCH": "8",
+        "PCAUDIO_BENCH_LEN": "16384",
+        "PCAUDIO_BENCH_TOPK": "32",
+    })
+    proc = subprocess.run([sys.executable, "bench.py"], cwd=REPO,
+                          env=env, capture_output=True, text=True,
+                          timeout=900)
+    assert proc.returncode == 0, (
+        f"fused bench mesh=8 failed rc={proc.returncode}\n"
+        f"stdout:\n{proc.stdout[-2000:]}\nstderr:\n{proc.stderr[-4000:]}"
+    )
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["config"]["fused_st"] is True
+    assert out["config"]["mesh"] == 8
+    assert out["value"] > 0

@@ -61,3 +61,41 @@ def test_fused_featurize_all_silent_clip_finite():
     m2, cmask = fused_chunk_mag2(waves, lengths, n_fft=1024, trim=True,
                                  out_dtype=jnp.float32)
     assert np.isfinite(np.asarray(m2)).all()
+
+
+def test_fused_featurize_sub_nfft_clip_masked_and_finite():
+    """Clip shorter than n_fft with trim on: the kernel's single-bounce
+    reflect produces garbage frames for tlen < n_fft, but every chunk of
+    such a clip must be MASKED and the garbage finite — pins the invariant
+    documented at ops/kernels/featurize.py (masked garbage stays masked)."""
+    import dataclasses
+
+    import jax
+
+    from pcaudio.eval.pipeline import (
+        TemporalPipelineConfig, make_temporal_classifier,
+    )
+    from pcaudio.nn import ST
+
+    rng = np.random.default_rng(3)
+    B, L, n_fft = 2, 16384, 1024
+    waves = np.zeros((B, L), np.float32)
+    # 700 < n_fft valid samples, then padding
+    waves[:, :700] = 0.1 * rng.standard_normal((B, 700)).astype(np.float32)
+    waves_j = jnp.asarray(waves)
+    lengths = jnp.asarray([700, 300], jnp.int32)
+
+    m2, cmask = fused_chunk_mag2(waves_j, lengths, n_fft=n_fft, trim=True,
+                                 out_dtype=jnp.float32)
+    assert not np.asarray(cmask).any(), "sub-n_fft clips must be fully masked"
+    assert np.isfinite(np.asarray(m2)).all()
+
+    # downstream: classifier logits stay finite through the fused pipeline
+    cfg = TemporalPipelineConfig(fs=44100, n_fft=n_fft, num_frames=10,
+                                 top_k=64, trim=True, extraction="exact",
+                                 featurize="fused")
+    model = ST(dim_input=3, num_outputs=1, dim_output=10,
+               num_inds=8, dim_hidden=16, num_heads=4)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 16, 3)))
+    logits = make_temporal_classifier(model, cfg)(params, waves_j, lengths)
+    assert np.isfinite(np.asarray(logits)).all()

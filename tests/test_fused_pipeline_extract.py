@@ -42,6 +42,45 @@ def test_fused_extract_matches_xla_extract():
         np.testing.assert_allclose(b, a, atol=2e-4, rtol=1e-4)
 
 
+def test_exact_kernel_pipeline_matches_xla_exact_end_to_end():
+    """The serving exact path (sort-free Pallas select, interpret on CPU)
+    produces the SAME point sets and the SAME classifications as the
+    two-stage XLA exact path, end-to-end through the classifier."""
+    import jax
+
+    from pcaudio.eval.pipeline import make_temporal_classifier
+    from pcaudio.nn import ST
+
+    waves, lengths = _waves()
+    base = TemporalPipelineConfig(fs=44100, n_fft=1024, num_frames=10,
+                                  top_k=128, trim=True, extraction="exact",
+                                  featurize="fused", exact_kernel=False)
+    kcfg = dataclasses.replace(base, exact_kernel=True)
+    ref_cloud, ref_cm = extract_chunk_clouds(waves, lengths, base)
+    ker_cloud, ker_cm = extract_chunk_clouds(waves, lengths, kcfg)
+    np.testing.assert_array_equal(np.asarray(ref_cm), np.asarray(ker_cm))
+    vc = np.asarray(ref_cm).reshape(-1)
+    ref = np.asarray(ref_cloud.points)[vc]
+    ker = np.asarray(ker_cloud.points)[vc]
+    # identical point SETS (order differs: ascending flat index vs
+    # descending value) — exact equality, not allclose: same selection,
+    # same log/normalize arithmetic
+    for a, b in zip(ref, ker):
+        a = a[np.lexsort(a.T)]
+        b = b[np.lexsort(b.T)]
+        np.testing.assert_array_equal(b, a)
+
+    model = ST(dim_input=3, num_outputs=1, dim_output=10,
+               num_inds=8, dim_hidden=16, num_heads=4)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 16, 3)))
+    ref_logits = make_temporal_classifier(model, base)(params, waves, lengths)
+    ker_logits = make_temporal_classifier(model, kcfg)(params, waves, lengths)
+    assert (np.asarray(jnp.argmax(ref_logits, -1))
+            == np.asarray(jnp.argmax(ker_logits, -1))).all()
+    np.testing.assert_allclose(np.asarray(ker_logits),
+                               np.asarray(ref_logits), atol=1e-5, rtol=1e-5)
+
+
 def test_fused_extract_approx_close():
     waves, lengths = _waves()
     base = TemporalPipelineConfig(

@@ -60,3 +60,33 @@ def test_set_sharded_grads_flow():
     for a, b in zip(jax.tree.leaves(gs), jax.tree.leaves(gr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_set_sharded_serving_pipeline_combined_axes():
+    """Combined data×set sharding on the SERVING path: waveforms → chunk
+    clouds → set-sharded ST logits under a (data=2, set=4) mesh must match
+    the unsharded pipeline end-to-end."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from pcaudio.eval.pipeline import (
+        TemporalPipelineConfig, extract_chunk_clouds,
+    )
+
+    rng = np.random.default_rng(2)
+    B, L = 2, 16384
+    waves = jnp.asarray((0.1 * rng.standard_normal((B, L))).astype(np.float32))
+    lengths = jnp.full((B,), L, jnp.int32)
+    cfg = TemporalPipelineConfig(fs=44100, n_fft=1024, num_frames=10,
+                                 top_k=64, extraction="exact")
+    cloud, cm = extract_chunk_clouds(waves, lengths, cfg)
+
+    model = ST(dim_input=3, num_outputs=1, dim_output=10, num_inds=16,
+               dim_hidden=32, num_heads=4)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 8, 3)))
+    ref = model.apply(params, cloud.points, mask=cloud.mask)
+
+    mesh = make_mesh(n_data=2, n_set=4)
+    got = set_sharded_st_forward(params, cloud.points, cloud.mask, mesh,
+                                 num_heads=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
