@@ -8,10 +8,12 @@ extraction → Set Transformer (3ST config: 64 inducing points, dim 64,
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} where
 vs_baseline is clips/sec/chip over the 10k-clips/sec/chip north-star target
 (BASELINE.json; the reference publishes no throughput numbers).  The
-canonical headline config is **B=512, top-K 128, approx extraction
-(recall ≥ 0.99), bf16 spectrograms, fused Pallas ST** — the JSON also
-reports the exact-extraction number and per-stage timings so the two modes
-and the stage attribution are always visible side by side.
+canonical headline config is **B=512, top-K 128, exact extraction (the
+sort-free Pallas top-K kernel — reference top-K semantics, bit-identical
+selected sets), bf16 spectrograms, fused Pallas ST** — the JSON also
+reports the approx-extraction number (``approx_max_k`` recall 0.9, see
+docs/PERFORMANCE.md for its accuracy evidence) and per-stage timings so
+the two modes and the stage attribution are always visible side by side.
 
 Env knobs: PCAUDIO_BENCH_BATCH (default 512), PCAUDIO_BENCH_TOPK (default
 128), PCAUDIO_BENCH_ITERS (default 10), PCAUDIO_BENCH_FUSED (default 1 —
@@ -70,7 +72,7 @@ def main():
     top_k = int(os.environ.get("PCAUDIO_BENCH_TOPK", "128"))
     iters = int(os.environ.get("PCAUDIO_BENCH_ITERS", "10"))
     fused = os.environ.get("PCAUDIO_BENCH_FUSED", "1") == "1"
-    extraction = os.environ.get("PCAUDIO_BENCH_EXTRACTION", "approx")
+    extraction = os.environ.get("PCAUDIO_BENCH_EXTRACTION", "exact")
     stft_precision = os.environ.get("PCAUDIO_BENCH_STFT_PRECISION", "default")
     compute_dtype = os.environ.get("PCAUDIO_BENCH_DTYPE", "bfloat16")
     stages = os.environ.get("PCAUDIO_BENCH_STAGES", "1") == "1"

@@ -37,6 +37,7 @@ Reference semantics reproduced: ``librosa.effects.trim(x, top_db=60)`` then
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -321,7 +322,11 @@ def fused_chunk_mag2(
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            # "parallel": grid steps are independent (the scratch is fully
+            # re-zeroed/rewritten every step — no cross-step state), so
+            # megacore may split the clip grid across both v5e cores.
+            dimension_semantics=(
+                os.environ.get("PCAUDIO_FEATURIZE_SEMANTICS", "parallel"),),
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
     )(lengths.astype(jnp.int32), x3, w0, w1, p0a, p0b)

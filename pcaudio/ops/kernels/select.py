@@ -1,28 +1,61 @@
 """Exact top-K chunk selection Pallas kernel (sort-free).
 
-XLA's ``top_k`` is sort-based and catastrophic at serving shapes (68 ms for
-top-128-of-5120 over 22k chunks on v5e; a full ``jnp.sort`` is no better),
-which made exact extraction 3.7x slower than the approx path.  This kernel
-selects the exact top-K of each chunk with NO sort:
+XLA's ``top_k`` is sort-based and catastrophic at serving shapes (73 ms for
+top-128-of-5120 over 22k chunks on v5e even with the two-stage per-frame
+decomposition; a full ``jnp.sort`` is no better), which made exact
+extraction 3.7x slower than the approx path.  This kernel selects the exact
+top-K of each chunk with NO sort:
 
-  1. **Kth-value search on float bits** — non-negative f32 bit patterns
-     order like integers, so 31 rounds of bit-set-and-count find the exact
-     K-th largest value per chunk (all chunks in the block batched).
-  2. **Tie resolution in flat order** — ``count(x > τ)`` winners plus the
+  1. **Binary K-th-value search in value space** — non-negative f32
+     values order like their IEEE bit patterns, so an MSB→LSB bit search
+     over the value code (8 exponent rounds + one per INPUT-dtype mantissa
+     bit: 7 for the bf16 serving grid, 23 for f32 — one full-grid probe
+     each; radix 2 minimizes probe compares, which dominate; radix 4/8
+     variants measured slower) finds the exact K-th largest value per
+     chunk.  Probe thresholds are built *incrementally as floats*
+     (exponent bits multiply ``tau`` by constant powers of two; mantissa
+     bits add ``scale`` with ``scale /= 2`` per round — every step an
+     exact f32 operation mirroring code arithmetic), eliminating v1's
+     ~34-op arithmetic IEEE decode per round.
+  2. **Counting without redundancy** — each probe's ``count(x ≥ t)`` is a
+     sublane-axis reduction plus one tiny ``[bc,128]×[128,128]`` ones
+     matmul (replicated-lane totals).  v1 pushed the full grid through a
+     ``[·,F]×[F,128]`` ones matmul per probe — 128x redundant MXU work.
+  3. **Tie resolution in flat order** — ``count(x > τ)`` winners plus the
      first ``K − count`` elements equal to τ, matching ``lax.top_k``'s
      deterministic take-first-on-ties semantics in row-major order.
-  3. **Ranks via prefix matmuls** — exclusive prefix sums along the lane
-     axis with a strict-lower-triangular operand (MXU), plus a tiny
-     row-carry matmul: rank(i) = position of winner i among winners.
-  4. **Compaction via one-hot scatter matmul** — ``S[i,k] = (rank_i == k)
-     ∧ winner_i``; values and flat indices ride two rows of one fat
-     ``[2, Nt·F] × [Nt·F, K]`` matmul per chunk.
+  4. **Ranks via prefix matmuls** — exclusive prefix sums within each
+     128-lane block (strict-lower-triangular MXU operand) plus a sublane
+     cumsum of replicated block totals for the carry.
+  5. **Compaction via a FACTORED one-hot scatter** — rank = rhi·8 + rlo;
+     the digit one-hots cost (K/8 + 8)·piece compares instead of K·piece
+     (the kernel's former largest VPU term), values and flat indices ride
+     bf16-exact channels (f32 split bf16x3, index split
+     ``(idx//256, idx%256)``) multiplied into the rlo one-hot, contracted
+     against the rhi one-hot on the MXU, and unpacked to ``[·, K]`` by a
+     constant one-hot lane expand + constant-masked sublane reductions.
+
+Every tensor in the kernel keeps 8-aligned sublane dims and full 128
+lanes: the v1 kernel carried ``[bc, Nt=10, F]`` blocks whose 10-wide
+sublane tiling Mosaic handles ~5x slower (measured; same class of silent
+penalty as the documented ``(4, 20)`` out-block case).
 
 Everything happens in VMEM on the resident chunk; HBM traffic is the m²
 read + the [K] outputs.  The selected SET is exactly ``lax.top_k``'s
 (including its take-first-on-ties behavior); the output ORDER is ascending
 flat index rather than descending value — the consumers are permutation-
 invariant set models, and the parity tests assert set equality.
+
+Caveat (shared with v1): the threshold search resolves values down to
+2^-126; if the true K-th value is subnormal (< 1e-38 — squared magnitudes
+of numerically silent audio) the tie cut among those denormal magnitudes
+can differ from ``lax.top_k``'s.  TPU VPUs flush subnormals to zero
+anyway, and no finite audio content is affected.
+
+Mosaic survival rules on this backend (all probed, v1 history): no
+lane-dim-1 tensors (per-chunk scalars ride 128 replicated lanes), no
+bitcast, bf16 matmuls with f32 accumulation are exact for 0/1 and
+small-integer operands.
 
 Reference semantics accelerated: per-chunk magnitude top-K subsampling
 (``Code/dataset.py:169-202``, ``pc_maxK`` in ``Code/utils.py:25-54``).
@@ -40,138 +73,236 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _kernel(x_ref, ov_ref, oi_ref, *, bc, Nt, F, K):
-    # Mosaic survival rules on this backend (all probed, all SIGABRT the
-    # remote compiler otherwise): no lane-dim-1 tensors (per-chunk scalars
-    # ride 128 replicated lanes; reductions become ones-matmuls), no
-    # bitcast (the IEEE code search DECODES probes arithmetically), and the
-    # big one-hot scatter tensor is built in flat-dim pieces with the
-    # winner mask folded into the rank key instead of a lane-1 bool.
-    x = x_ref[...].astype(jnp.float32)                    # [bc, Nt, F]
+def _kernel(x_ref, ov_ref, oi_ref, *, bc, L, K, mant_bits):
+    # kernel-engineering probe: PCAUDIO_SELECT_PROFILE=searchonly|scatteronly
+    # strips a stage (WRONG results, timing only) to attribute kernel time
+    import os
+    _profile = os.environ.get("PCAUDIO_SELECT_PROFILE", "")
+    # Mosaic shape-cast rules (probed): 3D→2D minor-dims collapse of f32
+    # vectors is supported ([bc,nb,128]→[bc,L], the v1-proven class), but a
+    # collapse FUSED with a unit-dim expand ([bc,nb,128]→[bc,L,1] in one
+    # tpu.reshape) is not — so the block arrives 3D, every 2D view is a
+    # plain collapse, and all lane-1 expands happen on elementwise results.
+    nb = L // 128
+    x3 = x_ref[...].astype(jnp.float32)                   # [bc, nb, 128]
+    x = x3.reshape(bc, L)
 
-    onesF = jnp.ones((F, 128), jnp.bfloat16)
+    ones128 = jnp.ones((128, 128), jnp.bfloat16)
 
-    def count128(mask):
-        """Σ over (Nt, F) of a {0,1} mask → [bc, 128] (replicated lanes).
-        bf16 matmul with f32 accumulation is EXACT for 0/1 operands and
-        counts < 2^24."""
-        c = jnp.dot(mask.astype(jnp.bfloat16).reshape(bc * Nt, F), onesF,
+    def lane_total(part):
+        """[..., 128] per-lane partial counts (each < 2^8, bf16-exact) →
+        replicated lane totals (f32 accumulation, exact)."""
+        shp = part.shape
+        c = jnp.dot(part.astype(jnp.bfloat16).reshape(-1, 128), ones128,
                     preferred_element_type=jnp.float32)
-        return jnp.sum(c.reshape(bc, Nt, 128), axis=1)
+        return c.reshape(shp)
 
-    def lanes_to_grid(v128):
-        """[bc, 128] replicated value → [bc, Nt, F] broadcast.  Pure data
-        movement (lane repeat + sublane broadcast) — bit-exact, unlike a
-        ones-matmul which rides the MXU's bf16x3 f32 path."""
-        v = jnp.concatenate([v128] * (F // 128), axis=1)  # [bc, F]
-        return jnp.broadcast_to(v[:, None, :], (bc, Nt, F))
+    def count_ge(cand):
+        """cand [nd, bc, 128] thresholds → replicated counts of x ≥ t.
 
-    # 1) exact K-th largest value per chunk: binary search over the IEEE
-    # code (exponent<<23 | mantissa) — non-negative float bit patterns
-    # order like integers — decoding each probe arithmetically.  2^(e-127)
-    # is built by repeated squaring over the exponent bits (multiplies by
-    # exact power-of-two constants): VPU `exp2` is an approximation and a
-    # single-ulp probe error breaks exact selection.
-    def pow2(d):
-        """2^d for int32 d ∈ [-127, 128] ([bc, 128] lanes), bit-exact."""
-        neg = d < 0
-        a = jnp.where(neg, -d, d)
-        p = jnp.ones(d.shape, jnp.float32)
-        for i in range(8):
-            bit = (a >> i) & 1
-            c = float(2.0 ** (1 << i)) if i < 7 else float("inf")
-            p = p * jnp.where(bit == 1, c, 1.0)
-        return jnp.where(neg, 1.0 / p, p)
+        The compare mask extends to f32, not bf16: a bf16 `where` on the
+        4D mask needs an i1 relayout ((8,128)→(16,128) tiles) Mosaic
+        cannot do ("Invalid relayout: non-singleton dim replicated in
+        destination"), and the f32 sublane reduction is not the
+        bottleneck."""
+        m = (x3[None] >= cand[:, :, None, :]).astype(jnp.float32)
+        return lane_total(jnp.sum(m, axis=2))
 
-    def decode(code):
-        e = code >> 23
-        mi = (code & ((1 << 23) - 1)).astype(jnp.float32)
-        return pow2(e - 127) * (1.0 + mi * (1.0 / (1 << 23)))
+    def pick(tau, cand):
+        """Select the largest candidate threshold still covering ≥ K
+        values (monotone: cand is increasing in d, counts decreasing)."""
+        ok = (count_ge(cand) >= K).astype(jnp.float32)    # [nd, bc, 128]
+        nd = cand.shape[0]
+        if nd == 1:
+            return jnp.where(ok[0] > 0.0, cand[0], tau)
+        # sel_d = ok_d − ok_{d+1} is one-hot on the largest passing digit.
+        # Blend through `where`, not multiplication: high exponent-digit
+        # candidates overflow to +inf (e.g. 2^192 for d=3·64) and inf·0
+        # would poison the sum with NaN; an inf candidate simply never
+        # passes the count test (finite inputs) and must drop out cleanly.
+        sel = ok - jnp.concatenate(
+            [ok[1:], jnp.zeros((1, bc, 128), jnp.float32)], axis=0)
+        return tau * (1.0 - ok[0]) + jnp.sum(
+            jnp.where(sel > 0.0, cand, 0.0), axis=0)
 
-    V = jnp.zeros((bc, 128), jnp.int32)
-    for b in range(30, -1, -1):
-        cand = V | (1 << b)
-        cnt = count128(x >= lanes_to_grid(decode(cand)))
-        V = jnp.where(cnt >= K, cand, V)
-    tau = decode(V)
+    # ---- 1) exact K-th largest value per chunk: MSB→LSB bit search ------
+    # Radix 2: binary search minimizes full-grid probe compares (31 — one
+    # per code bit — vs 46 for radix 4, 76 for radix 8); the probes' x-wide
+    # compares dominate, the per-round fixed ops don't.  Exponent offset
+    # 0..255 from 2^-126 via eight doubling rounds; candidate = tau·2^step.
+    # Candidates are built INCREMENTALLY (c = tau·2^step with 2^step a
+    # finite f32 constant, each product an exact power of two): a closed
+    # form 2^(Σ bits) constant would overflow f32 mid-range.  A candidate
+    # that legitimately exceeds f32 max becomes inf and simply never passes
+    # the count test (finite inputs), dropping out via pick's `where`.
+    # (2^128 itself is NOT a finite f32 — the top bit multiplies twice by
+    # 2^64; both factors are exact and tau = 2^-126 keeps the product
+    # finite exactly when the bit is legitimately reachable.)
+    tau = jnp.full((bc, 128), 2.0 ** -126, jnp.float32)
+    tau = pick(tau, (tau * float(2.0 ** 64) * float(2.0 ** 64))[None])
+    for step in (64, 32, 16, 8, 4, 2, 1):
+        tau = pick(tau, (tau * float(2.0 ** step))[None])
+    # Mantissa bits (msb-first), one probe each: candidate = tau + scale.
+    # After the exponent rounds tau is exactly 2^(e−127) (no mantissa bits
+    # set), so scale = tau·2^(s−23) stays an exact power of two and every
+    # tau + scale is exact.  ``mant_bits`` is the INPUT dtype's mantissa
+    # width: bf16 inputs (the serving spectrogram grid) have 7 mantissa
+    # bits, so rounds 8..23 can never flip a bit — 16 of 31 full-grid
+    # probes skipped.
+    scale = tau * 0.5
+    for _ in range(mant_bits):
+        tau = pick(tau, (tau + scale)[None])
+        scale = scale * 0.5
+
     # all-(near)zero chunks: no probe reached K values → threshold 0
-    cntV = count128(x >= lanes_to_grid(tau))
-    tau3 = lanes_to_grid(jnp.where(cntV >= K, tau, 0.0))
+    cntV = count_ge(tau[None])[0]
+    tau_b = jnp.where(cntV >= K, tau, 0.0)[:, None, :]    # [bc, 1, 128]
 
-    w_gt = x > tau3
-    tie = x == tau3
-    need3 = lanes_to_grid(K - count128(w_gt))
+    if _profile == "searchonly":
+        ov_ref[...] = jnp.broadcast_to(tau[:, :K], (bc, K))
+        oi_ref[...] = jnp.broadcast_to(
+            cntV[:, :K].astype(jnp.int32), (bc, K))
+        return
+    if _profile == "scatteronly":
+        tau_b = jnp.full((bc, 1, 128), 0.5, jnp.float32)
 
-    # 2+3) exclusive prefix in flat row-major order for ties and winners
-    lane = jax.lax.broadcasted_iota(jnp.int32, (F, F), 0)
-    lane_t = jax.lax.broadcasted_iota(jnp.int32, (F, F), 1)
-    ltF = (lane < lane_t).astype(jnp.bfloat16)            # strict lower [F,F]
-    row = jax.lax.broadcasted_iota(jnp.int32, (Nt, Nt), 0)
-    row_t = jax.lax.broadcasted_iota(jnp.int32, (Nt, Nt), 1)
-    ltN = (row < row_t).astype(jnp.float32)               # [Nt, Nt]
+    # ---- 2+3) winners + flat-order ranks ----
+    w_gt = x3 > tau_b
+    tie = x3 == tau_b
+    need = K - lane_total(jnp.sum(w_gt.astype(jnp.float32), axis=1))
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    lane_t = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    ltF = (lane < lane_t).astype(jnp.bfloat16)            # strict lower
 
     def ex_prefix(m):
-        """m [bc, Nt, F] {0,1} → exclusive flat-order prefix counts (bf16
-        matmul, f32 accumulation — exact for 0/1 masks)."""
-        mf = m.astype(jnp.bfloat16).reshape(bc * Nt, F)
-        pre = jnp.dot(mf, ltF, preferred_element_type=jnp.float32
-                      ).reshape(bc, Nt, F)
-        rs = jnp.sum(m.astype(jnp.float32), axis=2)       # [bc, Nt]
-        carry = jnp.dot(rs, ltN, preferred_element_type=jnp.float32)
-        return pre + carry[:, :, None]
+        """m [n, nb, 128] {0,1} → exclusive flat-order prefix counts
+        (independently per leading row).  In-block prefix by strict-lower
+        matmul; cross-block carry by a Kogge–Stone scan of replicated
+        block totals (Mosaic has no cumsum lowering; ``pltpu.roll`` +
+        iota masks are the supported spelling).  All exact: 0/1 bf16
+        operands, f32 accumulation, integer adds."""
+        n = m.shape[0]
+        riota = jax.lax.broadcasted_iota(jnp.int32, (n, nb, 128), 1)
+        mb = m.astype(jnp.bfloat16).reshape(n * nb, 128)
+        pre = jnp.dot(mb, ltF, preferred_element_type=jnp.float32)
+        tot = jnp.dot(mb, ones128, preferred_element_type=jnp.float32)
+        tot3 = tot.reshape(n, nb, 128)
+        inc = tot3
+        s = 1
+        while s < nb:
+            shifted = pltpu.roll(inc, s, axis=1)
+            inc = inc + jnp.where(riota >= s, shifted, 0.0)
+            s *= 2
+        return pre.reshape(n, nb, 128) + (inc - tot3)
 
-    tie_rank = ex_prefix(tie)
-    w = w_gt | (tie & (tie_rank < need3))
-    rank = ex_prefix(w)                                   # [bc, Nt, F]
+    # ONE stacked prefix scan for both masks (halves the Kogge–Stone
+    # dispatch chains): rank decomposes as
+    #   rank_i = #gt-winners before i + #taken-ties before i
+    #          = gt_rank_i + min(tie_rank_i, need)
+    # because the taken ties are exactly the FIRST ``need`` ties in flat
+    # order — the prefix count of that subset at i is min(tie_rank_i, need).
+    both = ex_prefix(jnp.concatenate(
+        [w_gt.astype(jnp.float32), tie.astype(jnp.float32)], axis=0))
+    gt_rank, tie_rank = both[:bc], both[bc:]
+    w = w_gt | (tie & (tie_rank < need[:, None, :]))
+    rank = gt_rank + jnp.minimum(tie_rank, need[:, None, :])
 
-    # 4) one-hot scatter: payload × S, with the winner mask folded into the
-    # rank key (non-winners → -1, matching no k).  The MXU rounds matmul
-    # operands to bf16, so the payload rides bf16-EXACT channels: the f32
-    # value split bf16x3 (8+8+8 mantissa bits, reconstructed by exact f32
-    # adds) and the index split into (idx//256, idx%256) — both < 256 and
-    # bf16-exact.  S is 0/1 with one hit per output: accumulation is exact.
-    flat_idx = (jax.lax.broadcasted_iota(jnp.int32, (bc, Nt, F), 1) * F
-                + jax.lax.broadcasted_iota(jnp.int32, (bc, Nt, F), 2))
-    v = x.reshape(bc, Nt * F)
-    h1 = v.astype(jnp.bfloat16).astype(jnp.float32)
-    r1 = v - h1
+    # ---- 4) one-hot scatter compaction ----
+    # Winner mask folded into the rank key (non-winners → −1, matching no
+    # output column; rank ≥ K likewise never matches, which also truncates
+    # the degenerate overfull-at-τ=0 case to first-K-in-flat-order).
+    # Built elementwise in 2D (f32-collapse views of rank / w) so the later
+    # [:, lo:hi, None] expand never fuses with a collapse cast.
+    rank2 = rank.reshape(bc, L)
+    w2 = w.astype(jnp.float32).reshape(bc, L)
+    rank_key = jnp.where(w2 > 0.0, rank2, -1.0)
+
+    # bf16-exact payload channels: f32 value split bf16x3 (reconstructed by
+    # exact f32 adds), flat index split into (idx//256, idx%256) < 256.
+    h1 = x.astype(jnp.bfloat16).astype(jnp.float32)
+    r1 = x - h1
     h2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
     h3 = r1 - h2
-    fi = flat_idx.reshape(bc, Nt * F)
+    fi = jax.lax.broadcasted_iota(jnp.int32, (bc, L), 1)
     ihi = (fi >> 8).astype(jnp.float32)
     ilo = (fi & 255).astype(jnp.float32)
-    payload = jnp.stack([h1, h2, h3, ihi, ilo], axis=1
-                        ).astype(jnp.bfloat16)            # [bc, 5, NtF]
-    rank_key = jnp.where(w, rank.astype(jnp.int32), -1).reshape(bc, Nt * F)
-    # Piece the flat axis so the one-hot scatter tensor S stays VMEM-sized.
-    # Piece length is ceil-divided then lane-aligned, and the LAST piece
-    # covers the remainder — every flat element is scattered even when
-    # Nt·F does not divide evenly (a truncating split silently dropped
-    # tail winners for e.g. Nt·F=8192 → 3 pieces of 2730).
-    n_pieces = max(1, (Nt * F) // 2560)
-    piece = -(-(Nt * F) // n_pieces)
-    piece = -(-piece // 128) * 128
-    out = jnp.zeros((bc, 5, K), jnp.float32)
+    chans = [h1, h2, h3, ihi, ilo]                        # 5 × [bc, L] f32
+
+    # Factored one-hot scatter: rank = rhi·8 + rlo with rhi < Khi = K/8,
+    # rlo < 8.  Building the full [K, piece] one-hot costs K·piece compares
+    # per chunk — the kernel's single largest VPU term.  The digit one-hots
+    # cost (Khi + 8)·piece compares plus 5·8·piece bf16 products (~3x
+    # fewer ops at K = 128): R[(ch,rlo), l] = payload_ch[l]·(rlo_l == lo)
+    # rides the same minor-axis contraction against Shi[(hi), l], giving
+    # out2[(ch,rlo), hi]; the (hi, rlo) → k unpack is one constant one-hot
+    # matmul (lane expand Khi→K) plus two constant-masked sublane
+    # reductions.  Exactness: every out2 bin receives at most one product
+    # (ranks are unique); all payload channels are bf16-exact; the expand
+    # matmul is one-hot per k (no summation).  Non-winners carry
+    # rank_key = −1 → rhi = −1 (floor(−1/8)) which matches no Shi row.
+    # f32 equality compares throughout: Mosaic rejects bf16 cmpf ("Target
+    # does not support this comparison") and tpu.iota is integer-only, so
+    # iotas are int32 extended to f32; digits are small integers — the f32
+    # equality is exact.
+    assert K % 8 == 0, "factored scatter needs K % 8 == 0"
+    Khi = K // 8
+    rhi = jnp.floor(rank_key * 0.125)                     # [bc, L]
+    rlo = rank_key - rhi * 8.0
+
+    # Piece the flat axis so the stacked scatter tensors stay VMEM-sized
+    # (≤ ~24 MB bf16); piece lengths are 128-aligned and the last piece
+    # covers the remainder — every flat element is scattered.
+    budget = (24 * 1024 * 1024) // (bc * (5 * 8 + 8 + max(Khi, 8)) * 2)
+    piece = max(128, (budget // 128) * 128)
+    out2 = jnp.zeros((bc, 40, Khi), jnp.float32)
     lo = 0
-    while lo < Nt * F:
-        hi = min(lo + piece, Nt * F)
-        k_iota = jax.lax.broadcasted_iota(jnp.int32, (bc, hi - lo, K), 2)
-        S = (jnp.expand_dims(rank_key[:, lo:hi], -1) == k_iota
-             ).astype(jnp.bfloat16)
-        out = out + jax.lax.dot_general(
-            payload[:, :, lo:hi], S,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)           # [bc, 5, K]
+    while lo < L:
+        hi = min(lo + piece, L)
+        lo_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (bc, 8, hi - lo), 1).astype(jnp.float32)
+        Slo = (jnp.expand_dims(rlo[:, lo:hi], 1) == lo_iota
+               ).astype(jnp.bfloat16)                     # [bc, 8, piece]
+        hi_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (bc, Khi, hi - lo), 1).astype(jnp.float32)
+        Shi = (jnp.expand_dims(rhi[:, lo:hi], 1) == hi_iota
+               ).astype(jnp.bfloat16)                     # [bc, Khi, piece]
+        # slice-then-expand: the fused ``c[:, None, lo:hi]`` form lowers
+        # through Mosaic's gather rule and crashes for partial pieces
+        R = jnp.concatenate(
+            [jnp.expand_dims(c[:, lo:hi], 1).astype(jnp.bfloat16) * Slo
+             for c in chans], axis=1)                     # [bc, 40, piece]
+        out2 = out2 + jax.lax.dot_general(
+            R, Shi,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)           # [bc, 40, Khi]
         lo = hi
-    ov_ref[...] = out[:, 0, :] + out[:, 1, :] + out[:, 2, :]
-    oi_ref[...] = (out[:, 3, :] * 256.0 + out[:, 4, :]).astype(jnp.int32)
+
+    # (ch, rlo, hi) → (ch, k = hi·8 + rlo): constant one-hot lane expand +
+    # constant-masked sublane reductions (exact — one term per output).
+    kk = jax.lax.broadcasted_iota(jnp.int32, (Khi, K), 1)
+    hh = jax.lax.broadcasted_iota(jnp.int32, (Khi, K), 0)
+    mexp = (hh == kk // 8).astype(jnp.bfloat16)           # [Khi, K]
+    T = jax.lax.dot_general(
+        out2.astype(jnp.bfloat16), mexp,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [bc, 40, K]
+    row_ch = jax.lax.broadcasted_iota(jnp.int32, (40, K), 0) // 8
+    row_lo = jax.lax.broadcasted_iota(jnp.int32, (40, K), 0) % 8
+    k_lo = jax.lax.broadcasted_iota(jnp.int32, (40, K), 1) % 8
+    lo_hit = (row_lo == k_lo).astype(jnp.float32)
+    sel_v = jnp.where(row_ch < 3, lo_hit, 0.0)            # h1+h2+h3
+    sel_i = jnp.where(row_ch == 3, 256.0 * lo_hit,
+                      jnp.where(row_ch == 4, lo_hit, 0.0))
+    ov_ref[...] = jnp.sum(T * sel_v[None], axis=1)
+    oi_ref[...] = jnp.sum(T * sel_i[None], axis=1).astype(jnp.int32)
 
 
 def exact_topk_chunks(
     mags: Array,
     K: int,
     *,
-    block_c: int = 8,
+    block_c: int = 32,
     interpret=None,
 ) -> Tuple[Array, Array]:
     """Exact per-chunk top-K of non-negative magnitudes.
@@ -185,8 +316,16 @@ def exact_topk_chunks(
     flat-index order.
     """
     N, Nt, F = mags.shape
-    assert K <= Nt * F
-    assert F % 128 == 0, "lane-repeat broadcast needs F to be a lane multiple"
+    L = Nt * F
+    # mantissa probe rounds follow the INPUT dtype's precision (exactness
+    # is relative to the values actually handed in): bf16 7, f16 10, f32 23
+    mant_bits = {jnp.bfloat16.dtype: 7, jnp.float16.dtype: 10}.get(
+        jnp.dtype(mags.dtype), 23)
+    assert K <= L
+    assert K <= 256, "bf16 scatter ranks require K <= 256"
+    assert F % 128 == 0, "flat lane blocks need F to be a lane multiple"
+    nb = L // 128
+    mags = mags.reshape(N, nb, 128)
     pad = (-N) % block_c
     if pad:
         mags = jnp.pad(mags, ((0, pad), (0, 0), (0, 0)))
@@ -195,7 +334,8 @@ def exact_topk_chunks(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    kern = functools.partial(_kernel, bc=block_c, Nt=Nt, F=F, K=K)
+    kern = functools.partial(_kernel, bc=block_c, L=L, K=K,
+                             mant_bits=mant_bits)
     vals, idx = pl.pallas_call(
         kern,
         grid=(Np // block_c,),
@@ -203,7 +343,7 @@ def exact_topk_chunks(
             jax.ShapeDtypeStruct((Np, K), jnp.float32),
             jax.ShapeDtypeStruct((Np, K), jnp.int32),
         ),
-        in_specs=[pl.BlockSpec((block_c, Nt, F), lambda i: (i, 0, 0),
+        in_specs=[pl.BlockSpec((block_c, nb, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(
             pl.BlockSpec((block_c, K), lambda i: (i, 0),

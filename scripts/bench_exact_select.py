@@ -35,9 +35,17 @@ def main():
         print(f"{name:48s} {dt*1e3:8.2f} ms", flush=True)
         return out
 
-    for bc in (8, 16, 32):
-        bench(f"exact_topk_chunks block_c={bc}",
-              lambda m, bc=bc: exact_topk_chunks(m, K, block_c=bc), x)
+    # block_c=64/128 crash the Mosaic compiler (array.h limits check) —
+    # 32 is the production setting
+    for bc in (16, 32):
+        try:
+            bench(f"exact_topk_chunks block_c={bc}",
+                  lambda m, bc=bc: exact_topk_chunks(m, K, block_c=bc), x)
+        except Exception as e:  # keep the sweep alive across compiler bugs
+            print(f"exact_topk_chunks block_c={bc}: FAILED {type(e).__name__}",
+                  flush=True)
+    bench("exact_topk_chunks bf16 grid (serving dtype)",
+          lambda m: exact_topk_chunks(m.reshape(Bc, Nt, F), K), x16)
     bench("approx_max_k bf16 recall 0.9",
           lambda m: jax.lax.approx_max_k(m, K, recall_target=0.9), x16)
 
@@ -56,6 +64,18 @@ def main():
     for i in range(0, Bc, 997):
         ok += set(np.asarray(idx[i]).tolist()) == set(np.asarray(ri[i]).tolist())
     print(f"set parity on {len(range(0, Bc, 997))} sampled chunks: {ok}")
+
+    # bf16-grid parity (serving dtype, 7-mantissa-bit search): top-K SET of
+    # the bf16 values == lax.top_k of their exact f32 embedding
+    v16, i16 = jax.jit(
+        lambda m: exact_topk_chunks(m.reshape(Bc, Nt, F), K))(x16)
+    rv16, ri16 = jax.jit(
+        lambda m: jax.lax.top_k(m.astype(jnp.float32), K))(x16)
+    ok = 0
+    for i in range(0, Bc, 997):
+        ok += set(np.asarray(i16[i]).tolist()) == \
+            set(np.asarray(ri16[i]).tolist())
+    print(f"bf16 set parity on {len(range(0, Bc, 997))} sampled chunks: {ok}")
 
 
 if __name__ == "__main__":

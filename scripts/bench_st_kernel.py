@@ -38,11 +38,13 @@ def main():
         return float(jnp.sum(x))
 
     for name in args.variants or ["v4", "v6"]:
-        if name in ("v4", "v6", "fused"):
+        if name in ("v4", "v6", "fused", "v6nomask"):
             from pcaudio.ops.kernels.fused_st import fused_st_forward as f
-            fn = jax.jit(lambda p, x, m, v=name: f(p, x, m, num_heads=8,
-                                           block_b=args.block_b,
-                                           variant=v))
+            variant = "v6" if name == "v6nomask" else name
+            nomask = name == "v6nomask"  # the serving e2e path (mask=None)
+            fn = jax.jit(lambda p, x, m, v=variant, nm=nomask: f(
+                p, x, None if nm else m, num_heads=8,
+                block_b=args.block_b, variant=v))
         else:
             fn = jax.jit(lambda p, x, m: model.apply(p, x, mask=m))
         t0 = time.perf_counter()

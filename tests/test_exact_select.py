@@ -19,16 +19,17 @@ def _ref_sets(mags, K):
     return out
 
 
-@pytest.mark.parametrize("shape,K", [
-    ((5, 10, 512), 128),   # serving config
-    ((3, 10, 512), 256),
-    ((4, 4, 128), 128),    # K == Nt*F/4
-    ((3, 16, 512), 128),   # Nt*F=8192: 3 scatter pieces, non-dividing
+@pytest.mark.parametrize("shape,K,block_c", [
+    ((5, 10, 512), 128, 32),   # serving config
+    ((3, 10, 512), 256, 32),
+    ((4, 4, 128), 128, 32),    # K == Nt*F/4
+    ((3, 16, 512), 128, 32),   # Nt*F=8192: partial-tail scatter piece
+    ((3, 16, 512), 128, 64),   # smaller piece budget: 3 pieces, one partial
 ])
-def test_exact_topk_matches_lax(shape, K):
+def test_exact_topk_matches_lax(shape, K, block_c):
     rng = np.random.default_rng(0)
     mags = jnp.asarray(np.abs(rng.standard_normal(shape)).astype(np.float32))
-    vals, idx = exact_topk_chunks(mags, K)
+    vals, idx = exact_topk_chunks(mags, K, block_c=block_c)
     vals, idx = np.asarray(vals), np.asarray(idx)
     flat = np.asarray(mags).reshape(shape[0], -1)
     refs = _ref_sets(mags, K)
@@ -39,6 +40,23 @@ def test_exact_topk_matches_lax(shape, K):
         np.testing.assert_array_equal(vals[i], flat[i][idx[i]])
         # ascending flat-index order
         assert (np.diff(idx[i]) > 0).all()
+
+
+def test_exact_topk_wide_exponent_range():
+    """Values spanning many f32 exponents (1e-9 … 1e9, the regression for
+    the overflowing 2^(d·32) candidate constants: any chunk whose K-th
+    value was ≥ 4.0 lost its top exponent digits and selected garbage)."""
+    rng = np.random.default_rng(7)
+    shape, K = (4, 10, 512), 128
+    mags = (np.abs(rng.standard_normal(shape)) *
+            10.0 ** rng.uniform(-9, 9, shape)).astype(np.float32)
+    vals, idx = exact_topk_chunks(jnp.asarray(mags), K)
+    idx = np.asarray(idx)
+    refs = _ref_sets(jnp.asarray(mags), K)
+    flat = mags.reshape(shape[0], -1)
+    for i in range(shape[0]):
+        assert set(idx[i].tolist()) == refs[i], f"chunk {i}: set mismatch"
+        np.testing.assert_array_equal(np.asarray(vals)[i], flat[i][idx[i]])
 
 
 def test_exact_topk_ties_take_first():

@@ -42,10 +42,16 @@ def test_fused_extract_matches_xla_extract():
         np.testing.assert_allclose(b, a, atol=2e-4, rtol=1e-4)
 
 
-def test_exact_kernel_pipeline_matches_xla_exact_end_to_end():
+import pytest
+
+
+@pytest.mark.parametrize("compute_dtype", ["float32", "bfloat16"])
+def test_exact_kernel_pipeline_matches_xla_exact_end_to_end(compute_dtype):
     """The serving exact path (sort-free Pallas select, interpret on CPU)
     produces the SAME point sets and the SAME classifications as the
-    two-stage XLA exact path, end-to-end through the classifier."""
+    two-stage XLA exact path, end-to-end through the classifier.  At
+    compute_dtype=bfloat16 (the serving headline config) both paths select
+    on the same bf16 grid and the kernel searches only 7 mantissa bits."""
     import jax
 
     from pcaudio.eval.pipeline import make_temporal_classifier
@@ -54,7 +60,8 @@ def test_exact_kernel_pipeline_matches_xla_exact_end_to_end():
     waves, lengths = _waves()
     base = TemporalPipelineConfig(fs=44100, n_fft=1024, num_frames=10,
                                   top_k=128, trim=True, extraction="exact",
-                                  featurize="fused", exact_kernel=False)
+                                  featurize="fused", exact_kernel=False,
+                                  compute_dtype=compute_dtype)
     kcfg = dataclasses.replace(base, exact_kernel=True)
     ref_cloud, ref_cm = extract_chunk_clouds(waves, lengths, base)
     ker_cloud, ker_cm = extract_chunk_clouds(waves, lengths, kcfg)
