@@ -73,7 +73,7 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _kernel(x_ref, ov_ref, oi_ref, *, bc, L, K, mant_bits):
+def _kernel(x_ref, ov_ref, oi_ref, *, bc, L, K, mant_bits, val_channels):
     # kernel-engineering probe: PCAUDIO_SELECT_PROFILE=searchonly|scatteronly
     # strips a stage (WRONG results, timing only) to attribute kernel time
     import os
@@ -220,14 +220,21 @@ def _kernel(x_ref, ov_ref, oi_ref, *, bc, L, K, mant_bits):
 
     # bf16-exact payload channels: f32 value split bf16x3 (reconstructed by
     # exact f32 adds), flat index split into (idx//256, idx%256) < 256.
-    h1 = x.astype(jnp.bfloat16).astype(jnp.float32)
-    r1 = x - h1
-    h2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
-    h3 = r1 - h2
+    # bf16 INPUTS (the serving grid) are single-channel-exact — h2 = h3 = 0
+    # identically — so the scatter carries 3 channels instead of 5, cutting
+    # the batched compaction dot's row count 40 → 24 (its cost scales with
+    # rows at fixed contraction length).
     fi = jax.lax.broadcasted_iota(jnp.int32, (bc, L), 1)
     ihi = (fi >> 8).astype(jnp.float32)
     ilo = (fi & 255).astype(jnp.float32)
-    chans = [h1, h2, h3, ihi, ilo]                        # 5 × [bc, L] f32
+    if val_channels == 1:
+        chans = [x, ihi, ilo]                             # 3 × [bc, L] f32
+    else:
+        h1 = x.astype(jnp.bfloat16).astype(jnp.float32)
+        r1 = x - h1
+        h2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
+        h3 = r1 - h2
+        chans = [h1, h2, h3, ihi, ilo]                    # 5 × [bc, L] f32
 
     # Factored one-hot scatter: rank = rhi·8 + rlo with rhi < Khi = K/8,
     # rlo < 8.  Building the full [K, piece] one-hot costs K·piece compares
@@ -253,9 +260,11 @@ def _kernel(x_ref, ov_ref, oi_ref, *, bc, L, K, mant_bits):
     # Piece the flat axis so the stacked scatter tensors stay VMEM-sized
     # (≤ ~24 MB bf16); piece lengths are 128-aligned and the last piece
     # covers the remainder — every flat element is scattered.
-    budget = (24 * 1024 * 1024) // (bc * (5 * 8 + 8 + max(Khi, 8)) * 2)
+    nch = len(chans)
+    nrow = nch * 8
+    budget = (24 * 1024 * 1024) // (bc * (nrow + 8 + max(Khi, 8)) * 2)
     piece = max(128, (budget // 128) * 128)
-    out2 = jnp.zeros((bc, 40, Khi), jnp.float32)
+    out2 = jnp.zeros((bc, nrow, Khi), jnp.float32)
     lo = 0
     while lo < L:
         hi = min(lo + piece, L)
@@ -271,11 +280,11 @@ def _kernel(x_ref, ov_ref, oi_ref, *, bc, L, K, mant_bits):
         # through Mosaic's gather rule and crashes for partial pieces
         R = jnp.concatenate(
             [jnp.expand_dims(c[:, lo:hi], 1).astype(jnp.bfloat16) * Slo
-             for c in chans], axis=1)                     # [bc, 40, piece]
+             for c in chans], axis=1)                     # [bc, nrow, piece]
         out2 = out2 + jax.lax.dot_general(
             R, Shi,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)           # [bc, 40, Khi]
+            preferred_element_type=jnp.float32)           # [bc, nrow, Khi]
         lo = hi
 
     # (ch, rlo, hi) → (ch, k = hi·8 + rlo): constant one-hot lane expand +
@@ -286,14 +295,14 @@ def _kernel(x_ref, ov_ref, oi_ref, *, bc, L, K, mant_bits):
     T = jax.lax.dot_general(
         out2.astype(jnp.bfloat16), mexp,
         dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)               # [bc, 40, K]
-    row_ch = jax.lax.broadcasted_iota(jnp.int32, (40, K), 0) // 8
-    row_lo = jax.lax.broadcasted_iota(jnp.int32, (40, K), 0) % 8
-    k_lo = jax.lax.broadcasted_iota(jnp.int32, (40, K), 1) % 8
+        preferred_element_type=jnp.float32)               # [bc, nrow, K]
+    row_ch = jax.lax.broadcasted_iota(jnp.int32, (nrow, K), 0) // 8
+    row_lo = jax.lax.broadcasted_iota(jnp.int32, (nrow, K), 0) % 8
+    k_lo = jax.lax.broadcasted_iota(jnp.int32, (nrow, K), 1) % 8
     lo_hit = (row_lo == k_lo).astype(jnp.float32)
-    sel_v = jnp.where(row_ch < 3, lo_hit, 0.0)            # h1+h2+h3
-    sel_i = jnp.where(row_ch == 3, 256.0 * lo_hit,
-                      jnp.where(row_ch == 4, lo_hit, 0.0))
+    sel_v = jnp.where(row_ch < nch - 2, lo_hit, 0.0)      # value channel(s)
+    sel_i = jnp.where(row_ch == nch - 2, 256.0 * lo_hit,
+                      jnp.where(row_ch == nch - 1, lo_hit, 0.0))
     ov_ref[...] = jnp.sum(T * sel_v[None], axis=1)
     oi_ref[...] = jnp.sum(T * sel_i[None], axis=1).astype(jnp.int32)
 
@@ -335,7 +344,8 @@ def exact_topk_chunks(
         interpret = jax.default_backend() != "tpu"
 
     kern = functools.partial(_kernel, bc=block_c, L=L, K=K,
-                             mant_bits=mant_bits)
+                             mant_bits=mant_bits,
+                             val_channels=1 if mant_bits <= 10 else 3)
     vals, idx = pl.pallas_call(
         kern,
         grid=(Np // block_c,),
