@@ -42,6 +42,25 @@ def test_exact_topk_matches_lax(shape, K, block_c):
         assert (np.diff(idx[i]) > 0).all()
 
 
+def test_exact_topk_bf16_serving_grid():
+    """bf16 inputs (the serving spectrogram dtype) ride the
+    single-value-channel scatter (bf16 values are f32-exact) and the
+    7-round mantissa search; the selected set must equal lax.top_k over
+    the same bf16 values, and returned values must be bit-exact."""
+    rng = np.random.default_rng(3)
+    shape, K = (5, 10, 512), 128
+    mags = jnp.asarray(
+        np.abs(rng.standard_normal(shape)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    vals, idx = exact_topk_chunks(mags, K)
+    idx = np.asarray(idx)
+    flat32 = np.asarray(mags.astype(jnp.float32)).reshape(shape[0], -1)
+    for i in range(shape[0]):
+        _, ridx = jax.lax.top_k(jnp.asarray(flat32[i]), K)
+        assert set(idx[i].tolist()) == set(np.asarray(ridx).tolist())
+        np.testing.assert_array_equal(np.asarray(vals)[i], flat32[i][idx[i]])
+
+
 def test_exact_topk_wide_exponent_range():
     """Values spanning many f32 exponents (1e-9 … 1e9, the regression for
     the overflowing 2^(d·32) candidate constants: any chunk whose K-th
