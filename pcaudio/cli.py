@@ -258,6 +258,13 @@ def main(argv=None):
     x.set_defaults(fn=cmd_max_regression)
 
     args = p.parse_args(argv)
+    if os.environ.get("PCAUDIO_CPU", "0") == "1":
+        # force the CPU backend before any device touch (the JAX_PLATFORMS
+        # env var is too late on hosts whose sitecustomize pre-imports jax
+        # and registers a default accelerator backend)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     args.fn(args)
 
 

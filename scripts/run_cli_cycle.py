@@ -37,13 +37,15 @@ def run(tag, argv, times, env=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=50)
+    ap.add_argument("--clips-per-class", type=int, default=40)
     ap.add_argument("--out", default="/tmp/pcaudio_cycle")
     args = ap.parse_args()
 
     times = {}
     t0 = time.perf_counter()
     from pcaudio.data.synthetic import generate_esc_corpus
-    csv, audio = generate_esc_corpus(os.path.join(args.out, "corpus"))
+    csv, audio = generate_esc_corpus(os.path.join(args.out, "corpus"),
+                                     clips_per_class=args.clips_per_class)
     times["corpus_gen"] = round(time.perf_counter() - t0, 1)
     print(f"[cycle] corpus: {csv} ({times['corpus_gen']}s)", flush=True)
 
