@@ -53,8 +53,8 @@ _AMIN = 1.0e-10  # librosa power_to_db floor
 _LOG10 = 2.302585092994046
 
 
-def _kernel(len_ref, x_ref, w0_ref, w1_ref, p0a_ref, p0b_ref, out_ref,
-            info_ref, scratch, *,
+def _kernel(len_ref, x_ref, w0_ref, w1_ref, p0a_ref, p0b_ref, pflip_ref,
+            out_ref, info_ref, scratch, *,
             L, R, F, C, Nt, T, hop, trim, top_db, out_dtype, compute_dtype):
     c = pl.program_id(0)
     length = len_ref[c]
@@ -99,38 +99,48 @@ def _kernel(len_ref, x_ref, w0_ref, w1_ref, p0a_ref, p0b_ref, out_ref,
               < jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
               ).astype(jnp.float32)
         eb_ex = jnp.dot(lt, eb, preferred_element_type=jnp.float32)  # [R,1]
-        rio = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
-        rioh = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)
-        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, hop), 1)
 
-        def prefix(u):
-            """Σ_{sidx < u} xsq (valid-masked), u ∈ [0, R·hop]."""
-            u = jnp.clip(u, 0, R * hop)
-            r = u // hop
-            c = u - r * hop
-            full = jnp.sum(jnp.where(rio == r, eb_ex, 0.0))
-            row = jnp.dot((rioh == r).astype(jnp.float32), xsq,
-                          preferred_element_type=jnp.float32)  # [1, hop]
-            part = jnp.sum(jnp.where(lane1 < c, row, 0.0))
-            # u == R·hop has r == R: every eb counted via r-1 fallthrough
-            full = jnp.where(r >= R, jnp.sum(eb), full)
-            return full + jnp.where(r >= R, 0.0, part)
-
+        # All 5 prefix queries (the tail-window hi + 4 per-frame los) are
+        # STACKED into one [5, R] one-hot row-select matmul + vectorized
+        # masked sums: the previous per-query form issued ~25 one-row
+        # matmul/select dispatches per clip, and per-op dispatch overhead
+        # dominates at these shapes.
         tail = 2048 + hop
         wstart = jnp.clip(length - tail, 0, L - tail)
         offl = length - wstart
         hi = wstart + jnp.clip(offl - 1, 0, tail)
-        s_hi = prefix(hi)
         t_first = (length - 2048 + 1024) // hop + 1  # first t with b > length
+        us, oks, tjs = [hi], [], []
         for j in range(4):
             t_j = t_first + j
             a_j = t_j * hop - 1024
             b_j = a_j + 2048
             w_j = jnp.clip(b_j - length, 0, 2048)
-            lo = wstart + jnp.clip(offl - 1 - w_j, 0, tail)
-            val = s_hi - prefix(lo)
-            ok = (b_j > length) & (a_j < length) & (t_j >= 0) & (t_j < T)
-            main = main + jnp.where((tio == t_j) & ok, val, 0.0)
+            us.append(wstart + jnp.clip(offl - 1 - w_j, 0, tail))
+            oks.append((b_j > length) & (a_j < length) & (t_j >= 0)
+                       & (t_j < T))
+            tjs.append(t_j)
+
+        us += [jnp.zeros((), jnp.int32)] * 3        # pad rows 5→8 (sublane
+        u5 = jnp.clip(jnp.stack(us).reshape(8, 1), 0, R * hop)   # [8, 1]
+        r5 = u5 // hop
+        c5 = u5 - r5 * hop
+        rio5 = jax.lax.broadcasted_iota(jnp.int32, (8, R), 1)
+        row5 = jnp.dot((rio5 == r5).astype(jnp.float32), xsq,
+                       preferred_element_type=jnp.float32)       # [8, hop]
+        ex5 = jnp.dot((rio5 == r5).astype(jnp.float32), eb_ex,
+                      preferred_element_type=jnp.float32)        # [8, 1]
+        lane5 = jax.lax.broadcasted_iota(jnp.int32, (8, hop), 1)
+        part5 = jnp.sum(jnp.where(lane5 < c5, row5, 0.0), axis=1,
+                        keepdims=True)                           # [8, 1]
+        # u == R·hop has r == R: every eb counted, no partial row
+        over = r5 >= R
+        pre5 = (jnp.where(over, jnp.sum(eb), ex5[:, :1])
+                + jnp.where(over, 0.0, part5))                   # [5, 1]
+        s_hi = pre5[0, 0]
+        for j in range(4):
+            val = s_hi - pre5[1 + j, 0]
+            main = main + jnp.where((tio == tjs[j]) & oks[j], val, 0.0)
 
         mse = main * (1.0 / 2048.0)
         fmask = tio < 1 + length // hop
@@ -191,22 +201,50 @@ def _kernel(len_ref, x_ref, w0_ref, w1_ref, p0a_ref, p0b_ref, out_ref,
               ).astype(compute_dtype)
     m2_left = frame_m2(frame0)
 
-    # right (frame t_last): 3-row window rows s0+t_last−2 … s0+t_last;
-    # direct part is the straight lanes, the reflected tail is a reversed
-    # run — one iota-equality map matmul on the 3-row window.
+    # right (frame t_last): 3-row window rows s0+t_last−2 … s0+t_last.
     r3 = jnp.clip(s0 + t_last - 2, 0, max(R - 3, 0))
     w3 = row_window(r3, 3)
-    j = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * hop), 1)
-    tj = t_last * hop + j - hop
-    g_abs = start_s + jnp.where(tj < tlen, tj,
-                                2 * tlen - 2 - tj)          # single bounce
-    target = jnp.clip(g_abs - r3 * hop, 0, 3 * hop - 1)
-    frame_l = jnp.zeros((1, 2 * hop), jnp.float32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (hop, 2 * hop), 0)
-    for r in range(3):
-        sel_r = (lane + r * hop == target).astype(compute_dtype)
-        frame_l = frame_l + jnp.dot(w3[r: r + 1], sel_r,
-                                    preferred_element_type=jnp.float32)
+    if os.environ.get("PCAUDIO_FEATURIZE_BOUNDARY", "onehot") == "roll":
+        # Roll formulation: the direct part is a contiguous run of the
+        # flattened window (one dynamic lane roll); the reflected tail is a
+        # REVERSED contiguous run (constant lane-flip matmul + one dynamic
+        # roll).  Replaces 3 × [hop, 2·hop] iota-equality builds + map
+        # matmuls (~1.6M VPU compares per clip) with ~3k compare lanes.
+        # Index algebra (valid whenever tlen ≥ n_fft — shorter clips are
+        # masked garbage by contract, see module docstring):
+        #   direct[j]    = w3f[off_d + j],  off_d = (s0+t_last−1−r3)·hop
+        #   reflected[j] = w3f[off_r − j],  off_r = (s0−r3)·hop + 2·tlen−2
+        #                                           − (t_last−1)·hop
+        # and w3f[off_r − j] = w3rev[3·hop−1−off_r + j].  Out-of-range
+        # lanes wrap (pltpu.roll is cyclic); they are only produced where
+        # the other branch is selected or the clip is degenerate (masked).
+        w3f = jnp.concatenate([w3[0:1], w3[1:2], w3[2:3]], axis=1)
+        w3r = jnp.concatenate(
+            [jnp.dot(w3[r: r + 1], pflip_ref[...],
+                     preferred_element_type=jnp.float32).astype(compute_dtype)
+             for r in (2, 1, 0)], axis=1)                   # [1, 3·hop]
+        off_d = (s0 + t_last - 1 - r3) * hop
+        off_r = (s0 - r3) * hop + 2 * tlen - 2 - (t_last - 1) * hop
+        rolled_d = pltpu.roll(w3f, -off_d, axis=1)
+        rolled_r = pltpu.roll(w3r, off_r - (3 * hop - 1), axis=1)
+        jlane = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * hop), 1)
+        cut = tlen - (t_last - 1) * hop    # direct samples in the frame
+        frame_l = jnp.where(jlane < cut,
+                            rolled_d[:, : 2 * hop].astype(jnp.float32),
+                            rolled_r[:, : 2 * hop].astype(jnp.float32))
+    else:
+        # one-hot formulation: target-index map matmuls on the 3-row window
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * hop), 1)
+        tj = t_last * hop + j - hop
+        g_abs = start_s + jnp.where(tj < tlen, tj,
+                                    2 * tlen - 2 - tj)      # single bounce
+        target = jnp.clip(g_abs - r3 * hop, 0, 3 * hop - 1)
+        frame_l = jnp.zeros((1, 2 * hop), jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (hop, 2 * hop), 0)
+        for r in range(3):
+            sel_r = (lane + r * hop == target).astype(compute_dtype)
+            frame_l = frame_l + jnp.dot(w3[r: r + 1], sel_r,
+                                        preferred_element_type=jnp.float32)
     m2_right = frame_m2(frame_l.astype(compute_dtype))
     m2b = [m2_left, m2_right]
 
@@ -283,6 +321,8 @@ def fused_chunk_mag2(
     ii = jnp.arange(hop)
     p0a = (ii[:, None] == jj[None, :]).astype(compute_dtype)
     p0b = ((hop + ii)[:, None] == jj[None, :]).astype(compute_dtype)
+    # constant lane-flip operand for the roll-based right boundary
+    pflip = (ii[:, None] == (hop - 1 - ii)[None, :]).astype(compute_dtype)
 
     # scratch rows: static write at [8, 8+R−1); aligned window reads reach
     # (8−1+s0)//8·8 + C·Nt + 8 ≤ R + C·Nt + 16
@@ -301,6 +341,7 @@ def fused_chunk_mag2(
         in_specs=[
             pl.BlockSpec((1, R, hop), lambda c, s: (c, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -329,7 +370,7 @@ def fused_chunk_mag2(
                 os.environ.get("PCAUDIO_FEATURIZE_SEMANTICS", "parallel"),),
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
-    )(lengths.astype(jnp.int32), x3, w0, w1, p0a, p0b)
+    )(lengths.astype(jnp.int32), x3, w0, w1, p0a, p0b, pflip)
 
     n_valid = 1 + info[:, 1] // hop
     chunk_mask = (jnp.arange(C)[None, :] + 1) * Nt <= n_valid[:, None]
