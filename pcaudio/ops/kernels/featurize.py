@@ -53,7 +53,7 @@ _AMIN = 1.0e-10  # librosa power_to_db floor
 _LOG10 = 2.302585092994046
 
 
-def _kernel(len_ref, x_ref, w0_ref, w1_ref, p0a_ref, p0b_ref, pflip_ref,
+def _kernel(len_ref, x_ref, w0_ref, w1_ref, p0a_ref, p0b_ref,
             out_ref, info_ref, scratch, *,
             L, R, F, C, Nt, T, hop, trim, top_db, out_dtype, compute_dtype):
     c = pl.program_id(0)
@@ -201,50 +201,25 @@ def _kernel(len_ref, x_ref, w0_ref, w1_ref, p0a_ref, p0b_ref, pflip_ref,
               ).astype(compute_dtype)
     m2_left = frame_m2(frame0)
 
-    # right (frame t_last): 3-row window rows s0+t_last−2 … s0+t_last.
+    # right (frame t_last): 3-row window rows s0+t_last−2 … s0+t_last,
+    # assembled by target-index one-hot map matmuls.  A cyclic-roll
+    # formulation (2 dynamic f32 pltpu.rolls of the flattened window + a
+    # constant lane-flip matmul, ~500x fewer VPU compares) was built and
+    # chip-measured at 13.58 vs 13.20 ms/batch — the iota-equality builds
+    # are NOT on the kernel's critical path, so the simpler form stays.
     r3 = jnp.clip(s0 + t_last - 2, 0, max(R - 3, 0))
     w3 = row_window(r3, 3)
-    if os.environ.get("PCAUDIO_FEATURIZE_BOUNDARY", "onehot") == "roll":
-        # Roll formulation: the direct part is a contiguous run of the
-        # flattened window (one dynamic lane roll); the reflected tail is a
-        # REVERSED contiguous run (constant lane-flip matmul + one dynamic
-        # roll).  Replaces 3 × [hop, 2·hop] iota-equality builds + map
-        # matmuls (~1.6M VPU compares per clip) with ~3k compare lanes.
-        # Index algebra (valid whenever tlen ≥ n_fft — shorter clips are
-        # masked garbage by contract, see module docstring):
-        #   direct[j]    = w3f[off_d + j],  off_d = (s0+t_last−1−r3)·hop
-        #   reflected[j] = w3f[off_r − j],  off_r = (s0−r3)·hop + 2·tlen−2
-        #                                           − (t_last−1)·hop
-        # and w3f[off_r − j] = w3rev[3·hop−1−off_r + j].  Out-of-range
-        # lanes wrap (pltpu.roll is cyclic); they are only produced where
-        # the other branch is selected or the clip is degenerate (masked).
-        w3f = jnp.concatenate([w3[0:1], w3[1:2], w3[2:3]], axis=1)
-        w3r = jnp.concatenate(
-            [jnp.dot(w3[r: r + 1], pflip_ref[...],
-                     preferred_element_type=jnp.float32).astype(compute_dtype)
-             for r in (2, 1, 0)], axis=1)                   # [1, 3·hop]
-        off_d = (s0 + t_last - 1 - r3) * hop
-        off_r = (s0 - r3) * hop + 2 * tlen - 2 - (t_last - 1) * hop
-        rolled_d = pltpu.roll(w3f, -off_d, axis=1)
-        rolled_r = pltpu.roll(w3r, off_r - (3 * hop - 1), axis=1)
-        jlane = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * hop), 1)
-        cut = tlen - (t_last - 1) * hop    # direct samples in the frame
-        frame_l = jnp.where(jlane < cut,
-                            rolled_d[:, : 2 * hop].astype(jnp.float32),
-                            rolled_r[:, : 2 * hop].astype(jnp.float32))
-    else:
-        # one-hot formulation: target-index map matmuls on the 3-row window
-        j = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * hop), 1)
-        tj = t_last * hop + j - hop
-        g_abs = start_s + jnp.where(tj < tlen, tj,
-                                    2 * tlen - 2 - tj)      # single bounce
-        target = jnp.clip(g_abs - r3 * hop, 0, 3 * hop - 1)
-        frame_l = jnp.zeros((1, 2 * hop), jnp.float32)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (hop, 2 * hop), 0)
-        for r in range(3):
-            sel_r = (lane + r * hop == target).astype(compute_dtype)
-            frame_l = frame_l + jnp.dot(w3[r: r + 1], sel_r,
-                                        preferred_element_type=jnp.float32)
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * hop), 1)
+    tj = t_last * hop + j - hop
+    g_abs = start_s + jnp.where(tj < tlen, tj,
+                                2 * tlen - 2 - tj)      # single bounce
+    target = jnp.clip(g_abs - r3 * hop, 0, 3 * hop - 1)
+    frame_l = jnp.zeros((1, 2 * hop), jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (hop, 2 * hop), 0)
+    for r in range(3):
+        sel_r = (lane + r * hop == target).astype(compute_dtype)
+        frame_l = frame_l + jnp.dot(w3[r: r + 1], sel_r,
+                                    preferred_element_type=jnp.float32)
     m2_right = frame_m2(frame_l.astype(compute_dtype))
     m2b = [m2_left, m2_right]
 
@@ -321,8 +296,6 @@ def fused_chunk_mag2(
     ii = jnp.arange(hop)
     p0a = (ii[:, None] == jj[None, :]).astype(compute_dtype)
     p0b = ((hop + ii)[:, None] == jj[None, :]).astype(compute_dtype)
-    # constant lane-flip operand for the roll-based right boundary
-    pflip = (ii[:, None] == (hop - 1 - ii)[None, :]).astype(compute_dtype)
 
     # scratch rows: static write at [8, 8+R−1); aligned window reads reach
     # (8−1+s0)//8·8 + C·Nt + 8 ≤ R + C·Nt + 16
@@ -341,7 +314,6 @@ def fused_chunk_mag2(
         in_specs=[
             pl.BlockSpec((1, R, hop), lambda c, s: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -370,7 +342,7 @@ def fused_chunk_mag2(
                 os.environ.get("PCAUDIO_FEATURIZE_SEMANTICS", "parallel"),),
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
-    )(lengths.astype(jnp.int32), x3, w0, w1, p0a, p0b, pflip)
+    )(lengths.astype(jnp.int32), x3, w0, w1, p0a, p0b)
 
     n_valid = 1 + info[:, 1] // hop
     chunk_mask = (jnp.arange(C)[None, :] + 1) * Nt <= n_valid[:, None]

@@ -37,15 +37,22 @@ def main():
 
     # block_c=64/128 crash the Mosaic compiler (array.h limits check) —
     # 32 is the production setting
-    for bc in (16, 32):
+    for comp in ("gather", "scatter"):
+        for bc in (16, 32):
+            try:
+                bench(f"exact_topk_chunks {comp} block_c={bc}",
+                      lambda m, bc=bc, comp=comp: exact_topk_chunks(
+                          m, K, block_c=bc, compaction=comp), x)
+            except Exception as e:  # keep the sweep alive across compiler bugs
+                print(f"exact_topk_chunks {comp} block_c={bc}: "
+                      f"FAILED {type(e).__name__}", flush=True)
         try:
-            bench(f"exact_topk_chunks block_c={bc}",
-                  lambda m, bc=bc: exact_topk_chunks(m, K, block_c=bc), x)
-        except Exception as e:  # keep the sweep alive across compiler bugs
-            print(f"exact_topk_chunks block_c={bc}: FAILED {type(e).__name__}",
+            bench(f"exact_topk_chunks {comp} bf16 grid (serving dtype)",
+                  lambda m, comp=comp: exact_topk_chunks(
+                      m.reshape(Bc, Nt, F), K, compaction=comp), x16)
+        except Exception as e:
+            print(f"exact_topk_chunks {comp} bf16: FAILED {type(e).__name__}",
                   flush=True)
-    bench("exact_topk_chunks bf16 grid (serving dtype)",
-          lambda m: exact_topk_chunks(m.reshape(Bc, Nt, F), K), x16)
     bench("approx_max_k bf16 recall 0.9",
           lambda m: jax.lax.approx_max_k(m, K, recall_target=0.9), x16)
 

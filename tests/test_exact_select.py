@@ -19,6 +19,7 @@ def _ref_sets(mags, K):
     return out
 
 
+@pytest.mark.parametrize("compaction", ["gather", "scatter"])
 @pytest.mark.parametrize("shape,K,block_c", [
     ((5, 10, 512), 128, 32),   # serving config
     ((3, 10, 512), 256, 32),
@@ -26,10 +27,11 @@ def _ref_sets(mags, K):
     ((3, 16, 512), 128, 32),   # Nt*F=8192: partial-tail scatter piece
     ((3, 16, 512), 128, 64),   # smaller piece budget: 3 pieces, one partial
 ])
-def test_exact_topk_matches_lax(shape, K, block_c):
+def test_exact_topk_matches_lax(shape, K, block_c, compaction):
     rng = np.random.default_rng(0)
     mags = jnp.asarray(np.abs(rng.standard_normal(shape)).astype(np.float32))
-    vals, idx = exact_topk_chunks(mags, K, block_c=block_c)
+    vals, idx = exact_topk_chunks(mags, K, block_c=block_c,
+                                  compaction=compaction)
     vals, idx = np.asarray(vals), np.asarray(idx)
     flat = np.asarray(mags).reshape(shape[0], -1)
     refs = _ref_sets(mags, K)
@@ -52,13 +54,15 @@ def test_exact_topk_bf16_serving_grid():
     mags = jnp.asarray(
         np.abs(rng.standard_normal(shape)).astype(np.float32)
     ).astype(jnp.bfloat16)
-    vals, idx = exact_topk_chunks(mags, K)
-    idx = np.asarray(idx)
     flat32 = np.asarray(mags.astype(jnp.float32)).reshape(shape[0], -1)
-    for i in range(shape[0]):
-        _, ridx = jax.lax.top_k(jnp.asarray(flat32[i]), K)
-        assert set(idx[i].tolist()) == set(np.asarray(ridx).tolist())
-        np.testing.assert_array_equal(np.asarray(vals)[i], flat32[i][idx[i]])
+    for compaction in ("gather", "scatter"):
+        vals, idx = exact_topk_chunks(mags, K, compaction=compaction)
+        idx = np.asarray(idx)
+        for i in range(shape[0]):
+            _, ridx = jax.lax.top_k(jnp.asarray(flat32[i]), K)
+            assert set(idx[i].tolist()) == set(np.asarray(ridx).tolist())
+            np.testing.assert_array_equal(np.asarray(vals)[i],
+                                          flat32[i][idx[i]])
 
 
 def test_exact_topk_wide_exponent_range():
