@@ -96,7 +96,14 @@ def extract_chunk_clouds(
     :class:`~pcaudio.core.types.PointCloud` over the flattened chunk batch:
     ``points [B·C, K, 3]``, ``mask [B·C, K]``, ``K = cfg.top_k or
     Nt·(n_fft//2)`` — the shape every set-model consumer wants.
+
+    ``waves`` may be raw PCM int16 (the serving H2D-halving staging
+    format): the ``/32768`` conversion librosa.load applies on the host
+    happens here on device instead — one cheap XLA convert, identical
+    values for 16-bit sources.
     """
+    if waves.dtype == jnp.int16:
+        waves = waves.astype(jnp.float32) * (1.0 / 32768.0)
     if cfg.featurize == "fused":
         return _extract_fused(waves, lengths, cfg)
     fcfg = cfg.featurize_config()

@@ -57,8 +57,14 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64, ctypes.c_int]
         lib.pcaudio_decode_wav_batch.restype = ctypes.c_int
+        lib.pcaudio_decode_wav_batch_i16.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int]
+        lib.pcaudio_decode_wav_batch_i16.restype = ctypes.c_int
         lib.pcaudio_prefetch_create.argtypes = [
-            ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int]
         lib.pcaudio_prefetch_create.restype = ctypes.c_void_p
         lib.pcaudio_prefetch_submit.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int]
@@ -80,26 +86,47 @@ def available() -> bool:
 
 
 def decode_wav_batch(
-    paths: Sequence[str], buffer_len: int, num_threads: Optional[int] = None
+    paths: Sequence[str], buffer_len: int, num_threads: Optional[int] = None,
+    dtype=np.float32, out: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Threaded native decode of many WAVs into a zero-padded ``[B, L]``
-    float32 batch + lengths.  Raises RuntimeError on decode failure or if the
-    native library can't be built."""
+    batch + lengths.  Raises RuntimeError on decode failure or if the
+    native library can't be built.
+
+    ``dtype=np.int16`` stages raw PCM16 (half the memory/H2D traffic;
+    bit-exact for 16-bit PCM sources, round-clamped for wider/float ones).
+    ``out`` lets callers reuse a preallocated ``[n, buffer_len]`` buffer —
+    on kernels with slow first-touch page faults (measured ~100 µs/page in
+    this image's sandbox), fresh 400 MB allocations dominate decode cost.
+    """
     lib = load_library()
     if lib is None:
         raise RuntimeError("native library unavailable (no g++?)")
     n = len(paths)
-    out = np.zeros((n, buffer_len), np.float32)
+    dtype = np.dtype(dtype)
+    if out is None:
+        out = np.empty((n, buffer_len), dtype)
+    else:
+        assert out.shape == (n, buffer_len) and out.dtype == dtype
     lengths = np.zeros((n,), np.int32)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     if num_threads is None:
         num_threads = min(8, os.cpu_count() or 1)
-    rc = lib.pcaudio_decode_wav_batch(
-        arr, n,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        buffer_len, num_threads,
-    )
+    if dtype == np.int16:
+        rc = lib.pcaudio_decode_wav_batch_i16(
+            arr, n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            buffer_len, num_threads,
+        )
+    else:
+        assert dtype == np.float32, "dtype must be float32 or int16"
+        rc = lib.pcaudio_decode_wav_batch(
+            arr, n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            buffer_len, num_threads,
+        )
     if rc != 0:
         raise RuntimeError(f"native WAV decode failed with code {rc}")
     return out, lengths
@@ -125,15 +152,19 @@ class PrefetchingLoader:
     """
 
     def __init__(self, buffer_len: int, batch: int, depth: int = 3,
-                 num_threads: Optional[int] = None):
+                 num_threads: Optional[int] = None, dtype=np.float32):
         lib = load_library()
         if lib is None:
             raise RuntimeError("native library unavailable (no g++?)")
         if num_threads is None:
             num_threads = min(8, os.cpu_count() or 1)
+        self._dtype = np.dtype(dtype)
+        assert self._dtype in (np.float32, np.int16), \
+            "staging dtype must be float32 or int16"
         self._lib = lib
         self._h = lib.pcaudio_prefetch_create(
-            buffer_len, batch, depth, num_threads)
+            buffer_len, batch, depth, num_threads,
+            1 if self._dtype == np.int16 else 0)
         if not self._h:
             raise RuntimeError("prefetcher creation failed")
         self._buffer_len = buffer_len
@@ -149,10 +180,18 @@ class PrefetchingLoader:
             raise RuntimeError(f"prefetch submit failed: {rc}")
 
     def next(self) -> Tuple[np.ndarray, np.ndarray, int]:
-        """Blocking: (waves [batch, L] view, lengths [batch] view, n)."""
+        """Blocking: (waves [batch, L] view, lengths [batch] view, n).
+        Auto-releases the previously returned slot."""
         if self._outstanding:
-            self._lib.pcaudio_prefetch_release(self._h)
-            self._outstanding -= 1
+            self.release()
+        return self.acquire()
+
+    def acquire(self) -> Tuple[np.ndarray, np.ndarray, int]:
+        """Blocking acquire WITHOUT releasing prior slots: the caller may
+        hold several slots (up to ``depth``) and :meth:`release` them in
+        acquisition order once consumed — the zero-copy serving pattern
+        (slot views feed ``jax.device_put`` directly; the slot is released
+        only after the batch's result materializes)."""
         fp = ctypes.POINTER(ctypes.c_float)()
         lp = ctypes.POINTER(ctypes.c_int32)()
         rc = self._lib.pcaudio_prefetch_acquire(
@@ -161,9 +200,19 @@ class PrefetchingLoader:
             self._lib.pcaudio_prefetch_release(self._h)
             raise RuntimeError(f"prefetch decode failed: {rc}")
         self._outstanding += 1
-        waves = np.ctypeslib.as_array(fp, (self._batch, self._buffer_len))
+        if self._dtype == np.int16:
+            sp = ctypes.cast(fp, ctypes.POINTER(ctypes.c_int16))
+            waves = np.ctypeslib.as_array(sp, (self._batch, self._buffer_len))
+        else:
+            waves = np.ctypeslib.as_array(fp, (self._batch, self._buffer_len))
         lengths = np.ctypeslib.as_array(lp, (self._batch,))
         return waves, lengths, rc
+
+    def release(self) -> None:
+        """Release the OLDEST acquired slot (views into it die)."""
+        if self._outstanding:
+            self._lib.pcaudio_prefetch_release(self._h)
+            self._outstanding -= 1
 
     def close(self) -> None:
         if self._h:

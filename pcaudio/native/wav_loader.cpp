@@ -32,9 +32,32 @@ struct Reader {
   bool skip(long n) { return f && std::fseek(f, n, SEEK_CUR) == 0; }
 };
 
+// Output sample traits: float staging (librosa-exact f32 in [-1, 1]) or
+// int16 staging (HALF the H2D bytes; bit-exact for 16-bit PCM sources —
+// the overwhelming WAV case, incl. ESC-50 — and round-clamped for
+// wider/float sources, where it costs up to 1/65536 per sample).
+template <typename T>
+struct SampleOut;
+template <>
+struct SampleOut<float> {
+  static float from_f(float v) { return v; }
+  static float from_i16(int16_t s) { return (float)s / 32768.0f; }
+};
+template <>
+struct SampleOut<int16_t> {
+  static int16_t from_f(float v) {
+    float x = v * 32768.0f;
+    if (x > 32767.0f) x = 32767.0f;
+    if (x < -32768.0f) x = -32768.0f;
+    return (int16_t)(x < 0 ? x - 0.5f : x + 0.5f);
+  }
+  static int16_t from_i16(int16_t s) { return s; }
+};
+
 // Decode one WAV file into out[0..max_len); returns the number of mono
 // samples decoded (clamped to max_len), or a negative error code.
-int decode_one(const char* path, float* out, int64_t max_len) {
+template <typename T>
+int decode_one(const char* path, T* out, int64_t max_len) {
   Reader r(path);
   if (!r.f) return -1;
 
@@ -67,6 +90,16 @@ int decode_one(const char* path, float* out, int64_t max_len) {
       const int64_t n = frames < max_len ? frames : max_len;
       std::vector<uint8_t> buf((size_t)(n * channels * bytes_per));
       if (!r.read(buf.data(), buf.size())) return -5;
+      if (channels == 1 && bits == 16 && fmt != 3) {
+        // mono 16-bit PCM fast path (the ESC-50 / common WAV case)
+        const int16_t* src = (const int16_t*)buf.data();
+        if (sizeof(T) == 2) {
+          std::memcpy(out, src, (size_t)n * 2);
+        } else {
+          for (int64_t i = 0; i < n; ++i) out[i] = SampleOut<T>::from_i16(src[i]);
+        }
+        return (int)n;
+      }
       const float inv_ch = 1.0f / channels;
       for (int64_t i = 0; i < n; ++i) {
         float acc = 0.0f;
@@ -95,7 +128,7 @@ int decode_one(const char* path, float* out, int64_t max_len) {
           }
           acc += v;
         }
-        out[i] = acc * inv_ch;
+        out[i] = SampleOut<T>::from_f(acc * inv_ch);
       }
       return (int)n;
     } else {
@@ -109,26 +142,34 @@ int decode_one(const char* path, float* out, int64_t max_len) {
 extern "C" {
 
 int pcaudio_decode_wav(const char* path, float* out, int64_t max_len) {
-  return decode_one(path, out, max_len);
+  return decode_one<float>(path, out, max_len);
 }
 
-// Threaded batch decode: paths[i] -> out[i * buffer_len .. +lengths[i]);
-// the caller provides a zeroed buffer.  Returns 0 on success, else the first
-// nonzero error code encountered.
-int pcaudio_decode_wav_batch(const char** paths, int n, float* out,
-                             int32_t* lengths, int64_t buffer_len,
-                             int num_threads) {
+}  // extern "C"
+
+namespace {
+
+// Threaded batch decode: paths[i] -> out[i * buffer_len .. +lengths[i]),
+// zero-padded to buffer_len (the buffer may be reused/uninitialized).
+// Returns 0 on success, else the first nonzero error code encountered.
+template <typename T>
+int decode_batch(const char** paths, int n, T* out, int32_t* lengths,
+                 int64_t buffer_len, int num_threads) {
   if (num_threads < 1) num_threads = 1;
   std::vector<int> errs(n, 0);
   auto work = [&](int tid) {
     for (int i = tid; i < n; i += num_threads) {
-      int got = decode_one(paths[i], out + (int64_t)i * buffer_len, buffer_len);
+      T* row = out + (int64_t)i * buffer_len;
+      int got = decode_one<T>(paths[i], row, buffer_len);
       if (got < 0) {
         errs[i] = got;
         lengths[i] = 0;
+        got = 0;
       } else {
         lengths[i] = got;
       }
+      if (got < buffer_len)
+        std::memset(row + got, 0, (size_t)(buffer_len - got) * sizeof(T));
     }
   };
   std::vector<std::thread> ts;
@@ -138,6 +179,23 @@ int pcaudio_decode_wav_batch(const char** paths, int n, float* out,
   for (int e : errs)
     if (e != 0) return e;
   return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int pcaudio_decode_wav_batch(const char** paths, int n, float* out,
+                             int32_t* lengths, int64_t buffer_len,
+                             int num_threads) {
+  return decode_batch<float>(paths, n, out, lengths, buffer_len, num_threads);
+}
+
+int pcaudio_decode_wav_batch_i16(const char** paths, int n, int16_t* out,
+                                 int32_t* lengths, int64_t buffer_len,
+                                 int num_threads) {
+  return decode_batch<int16_t>(paths, n, out, lengths, buffer_len,
+                               num_threads);
 }
 
 }  // extern "C"
@@ -160,10 +218,12 @@ namespace {
 struct Prefetcher {
   int64_t buffer_len;
   int batch, depth, nthreads;
-  std::vector<std::vector<float>> buf;     // depth slots, batch*buffer_len
-  std::vector<std::vector<int32_t>> lens;  // depth slots, batch
-  std::vector<int> count;                  // files in slot
-  std::vector<int> err;                    // first error code of slot
+  int fmt;                                  // 0 = float32, 1 = int16
+  size_t esize;                             // bytes per sample
+  std::vector<std::vector<uint8_t>> buf;    // depth slots, batch*L*esize
+  std::vector<std::vector<int32_t>> lens;   // depth slots, batch
+  std::vector<int> count;                   // files in slot
+  std::vector<int> err;                     // first error code of slot
 
   std::mutex mu;
   std::condition_variable cv;
@@ -176,11 +236,11 @@ struct Prefetcher {
   bool stop = false;
   std::vector<std::thread> threads;
 
-  Prefetcher(int64_t L, int b, int d, int t)
-      : buffer_len(L), batch(b), depth(d), nthreads(t),
-        buf(d), lens(d), count(d, 0), err(d, 0) {
+  Prefetcher(int64_t L, int b, int d, int t, int f)
+      : buffer_len(L), batch(b), depth(d), nthreads(t), fmt(f),
+        esize(f == 1 ? 2 : 4), buf(d), lens(d), count(d, 0), err(d, 0) {
     for (int i = 0; i < d; ++i) {
-      buf[i].resize((size_t)b * L);
+      buf[i].resize((size_t)b * L * esize);
       lens[i].resize(b);
       free_slots.push_back(i);
     }
@@ -215,18 +275,20 @@ struct Prefetcher {
         if (idx >= n) continue;  // lost the race; re-wait
       }
       // decode file `idx` of the active job, outside the lock
-      float* row = buf[slot].data() + (size_t)idx * buffer_len;
-      int got = decode_one(cur[idx].c_str(), row, buffer_len);
+      uint8_t* row = buf[slot].data() + (size_t)idx * buffer_len * esize;
+      int got = fmt == 1
+          ? decode_one<int16_t>(cur[idx].c_str(), (int16_t*)row, buffer_len)
+          : decode_one<float>(cur[idx].c_str(), (float*)row, buffer_len);
       if (got < 0) {
         lens[slot][idx] = 0;
-        std::memset(row, 0, (size_t)buffer_len * sizeof(float));
+        std::memset(row, 0, (size_t)buffer_len * esize);
         std::lock_guard<std::mutex> lk(mu);
         if (err[slot] == 0) err[slot] = got;
       } else {
         lens[slot][idx] = got;
         if (got < buffer_len)
-          std::memset(row + got, 0,
-                      (size_t)(buffer_len - got) * sizeof(float));
+          std::memset(row + (size_t)got * esize, 0,
+                      (size_t)(buffer_len - got) * esize);
       }
       if (cur_done.fetch_add(1) + 1 == n) {  // last file → slot ready
         std::lock_guard<std::mutex> lk(mu);
@@ -252,11 +314,14 @@ struct Prefetcher {
 
 extern "C" {
 
+// fmt: 0 = float32 slots, 1 = int16 slots (half the staging/H2D bytes;
+// bit-exact for 16-bit PCM sources, round-clamped otherwise)
 void* pcaudio_prefetch_create(int64_t buffer_len, int batch, int depth,
-                              int num_threads) {
+                              int num_threads, int fmt) {
   if (buffer_len <= 0 || batch <= 0 || depth <= 0) return nullptr;
+  if (fmt != 0 && fmt != 1) return nullptr;
   if (num_threads < 1) num_threads = 1;
-  return new Prefetcher(buffer_len, batch, depth, num_threads);
+  return new Prefetcher(buffer_len, batch, depth, num_threads, fmt);
 }
 
 int pcaudio_prefetch_submit(void* h, const char** paths, int n) {
@@ -280,7 +345,7 @@ int pcaudio_prefetch_acquire(void* h, float** out, int32_t** lengths) {
   int slot = p->ready.front();
   p->ready.pop_front();
   p->acquired.push_back(slot);
-  *out = p->buf[slot].data();
+  *out = (float*)p->buf[slot].data();  // int16 mode: caller casts by fmt
   *lengths = p->lens[slot].data();
   return p->err[slot] != 0 ? p->err[slot] : p->count[slot];
 }

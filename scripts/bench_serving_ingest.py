@@ -61,28 +61,48 @@ def main():
         fs=fs, n_fft=1024, num_frames=10, top_k=args.topk,
         extraction="exact", featurize="fused",
         stft_precision="default", compute_dtype="bfloat16")
-    clf = AudioClassifier(model=model, params=params, pipeline=pipe,
-                          batch_size=args.batch,
-                          buffer_len=(n + 1023) // 1024 * 1024)
 
-    # warmup/compile on one batch
-    t0 = time.perf_counter()
-    clf.classify_paths(paths[: args.batch])
-    print(f"compile+first batch: {time.perf_counter()-t0:.1f}s", flush=True)
+    ref_labels = None
+    for wd in ("float32", "int16"):
+        clf = AudioClassifier(model=model, params=params, pipeline=pipe,
+                              batch_size=args.batch,
+                              buffer_len=(n + 1023) // 1024 * 1024,
+                              wave_dtype=wd)
+        # warmup/compile on one batch
+        t0 = time.perf_counter()
+        clf.classify_paths(paths[: args.batch])
+        print(f"[{wd}] compile+first batch: {time.perf_counter()-t0:.1f}s",
+              flush=True)
+        t0 = time.perf_counter()
+        labels, probs = clf.classify_paths(paths)
+        dt = time.perf_counter() - t0
+        print(f"[{wd}] end-to-end WITH ingest: {args.nclips} clips in "
+              f"{dt:.2f}s = {args.nclips/dt:.0f} clips/sec", flush=True)
+        if ref_labels is None:
+            ref_labels = labels
+        else:
+            agree = float(np.mean(ref_labels == labels))
+            print(f"[{wd}] classification agreement vs float32: {agree:.4f}",
+                  flush=True)
+
+    # decode-only pass for attribution (zero-copy slot protocol, int16)
+    from pcaudio.native import PrefetchingLoader
 
     t0 = time.perf_counter()
-    labels, probs = clf.classify_paths(paths)
-    dt = time.perf_counter() - t0
-    print(f"end-to-end WITH ingest: {args.nclips} clips in {dt:.2f}s = "
-          f"{args.nclips/dt:.0f} clips/sec", flush=True)
-
-    # decode-only pass for attribution
-    t0 = time.perf_counter()
-    gen = (clf._native_batches(paths) if native.available()
-           else clf._python_batches(paths))
-    tot = sum(n_ for _, _, n_ in gen)
+    tot = 0
+    with PrefetchingLoader((n + 1023) // 1024 * 1024, args.batch, depth=3,
+                           dtype=np.int16) as pf:
+        groups = [paths[i: i + args.batch]
+                  for i in range(0, len(paths), args.batch)]
+        for g in groups[: min(3, len(groups))]:
+            pf.submit(g)
+        for gi in range(len(groups)):
+            w, l, n_ = pf.next()
+            tot += n_
+            if gi + 3 < len(groups):
+                pf.submit(groups[gi + 3])
     dt_dec = time.perf_counter() - t0
-    print(f"decode-only: {tot} clips in {dt_dec:.2f}s = "
+    print(f"decode-only (int16 slots): {tot} clips in {dt_dec:.2f}s = "
           f"{tot/dt_dec:.0f} clips/sec", flush=True)
 
 

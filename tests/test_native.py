@@ -116,3 +116,39 @@ def test_prefetching_loader_error(tmp_path):
                    str(tmp_path / "missing_b.wav")])
         with pytest.raises(RuntimeError):
             pf.next()
+
+
+def test_native_int16_staging(tmp_path):
+    """int16 staging: bit-exact PCM16 pass-through (out[i]/32768 == the f32
+    decode), buffer reuse via out=, and the prefetcher's int16 slots."""
+    rng = np.random.default_rng(11)
+    paths, sizes = [], []
+    for i in range(4):
+        x = (0.8 * rng.uniform(-1, 1, 700 + 100 * i)).astype(np.float32)
+        p = tmp_path / f"i{i}.wav"
+        _write_wav(p, x)
+        paths.append(str(p))
+        sizes.append(700 + 100 * i)
+    f32, lf = native.decode_wav_batch(paths, 2048)
+    i16, li = native.decode_wav_batch(paths, 2048, dtype=np.int16)
+    assert i16.dtype == np.int16
+    np.testing.assert_array_equal(lf, li)
+    np.testing.assert_array_equal(i16.astype(np.float32) / 32768.0, f32)
+    # reused output buffer (the slow-first-touch-kernel path)
+    buf = np.empty((4, 2048), np.int16)
+    buf.fill(-7)  # garbage that must be overwritten incl. tails
+    out2, _ = native.decode_wav_batch(paths, 2048, dtype=np.int16, out=buf)
+    assert out2 is buf
+    np.testing.assert_array_equal(buf, i16)
+    # prefetcher int16 slots + explicit acquire/release protocol
+    with native.PrefetchingLoader(2048, batch=4, depth=2,
+                                  dtype=np.int16) as pf:
+        pf.submit(paths)
+        pf.submit(paths)
+        w1, l1, n1 = pf.acquire()
+        w2, l2, n2 = pf.acquire()   # second slot held simultaneously
+        assert n1 == n2 == 4 and w1.dtype == np.int16
+        np.testing.assert_array_equal(w1, i16)
+        np.testing.assert_array_equal(w2, i16)
+        pf.release()
+        pf.release()

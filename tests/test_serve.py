@@ -69,3 +69,32 @@ def test_classify_paths_overlapped(tmp_path):
          for c in clips])
     np.testing.assert_array_equal(labels, l2)
     np.testing.assert_allclose(probs, p2, atol=1e-4)
+
+
+def test_classify_paths_int16_staging(tmp_path):
+    """wave_dtype="int16" (PCM16 H2D staging + on-device /32768) must
+    produce identical classifications and logits to f32 staging."""
+    import wave as wavemod
+
+    cfg = sorted(glob.glob(os.path.join(REF, "3ST*_config.json")))[-1]
+    pth = sorted(glob.glob(os.path.join(REF, "3ST*_net.pth")))[-1]
+    rng = np.random.default_rng(1)
+    paths = []
+    for i in range(5):
+        x = (0.1 * rng.standard_normal(20000 + 500 * i)).astype(np.float32)
+        p = str(tmp_path / f"s{i}.wav")
+        with wavemod.open(p, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(44100)
+            w.writeframes((x * 32767).astype("<i2").tobytes())
+        paths.append(p)
+    outs = {}
+    for dt in ("float32", "int16"):
+        clf = AudioClassifier.from_reference_checkpoint(
+            cfg, pth, top_k=64, batch_size=2, buffer_len=32768,
+            wave_dtype=dt)
+        outs[dt] = clf.classify_paths(paths)
+    np.testing.assert_array_equal(outs["float32"][0], outs["int16"][0])
+    np.testing.assert_allclose(outs["float32"][1], outs["int16"][1],
+                               atol=1e-6)
