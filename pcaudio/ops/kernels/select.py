@@ -73,7 +73,7 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _compact_gather(x3, x, w, rank, ov_ref, oi_ref, *, bc, L, K,
+def _compact_gather(x3, w, rank, ov_ref, oi_ref, *, bc, L, K,
                     val_channels):
     """Gather-form compaction: for each output slot k, FIND its winner.
 
@@ -306,7 +306,7 @@ def _kernel(x_ref, ov_ref, oi_ref, *, bc, L, K, mant_bits, val_channels,
     rank = gt_rank + jnp.minimum(tie_rank, need[:, None, :])
 
     if compaction == "gather":
-        _compact_gather(x3, x, w, rank, ov_ref, oi_ref, bc=bc, L=L, K=K,
+        _compact_gather(x3, w, rank, ov_ref, oi_ref, bc=bc, L=L, K=K,
                         val_channels=val_channels)
         return
 
