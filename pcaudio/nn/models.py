@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from pcaudio.nn.attention import ISAB, PMA, SAB
+from pcaudio.nn.attention import ISAB, PMA, SAB, torch_dense
 
 Array = jax.Array
 
@@ -54,7 +54,8 @@ class ST(nn.Module):
                  self.dtype, self.fused_attn, name="enc_1")(x, mask=mask)
         x = PMA(self.dim_hidden, self.num_heads, self.num_outputs, self.ln,
                 self.dtype, self.fused_attn, name="dec_pma")(x, mask=mask)
-        x = nn.Dense(self.dim_output, name="dec_out", dtype=self.dtype)(x)
+        x = torch_dense(self.dim_output, self.dim_hidden, name="dec_out",
+                        dtype=self.dtype)(x)
         if self.num_outputs == 1:
             x = x[:, 0, :]
         return x
@@ -80,9 +81,11 @@ class BaselineFF(nn.Module):
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         x = nn.Dropout(rate=self.p, deterministic=deterministic)(x)
         for i, out_size in enumerate(self.layer_dims[1:]):
-            x = nn.Dense(out_size, name=f"enc_{i}", dtype=self.dtype)(x)
+            x = torch_dense(out_size, self.layer_dims[i], name=f"enc_{i}",
+                            dtype=self.dtype)(x)
             x = nn.leaky_relu(x)  # torch LeakyReLU default slope 0.01
-        x = nn.Dense(self.nclasses, name="code_linear", dtype=self.dtype)(x)
+        x = torch_dense(self.nclasses, self.layer_dims[-1],
+                        name="code_linear", dtype=self.dtype)(x)
         if self.apply_softmax:
             x = jax.nn.softmax(x, axis=-1)
         return x
@@ -116,9 +119,11 @@ class CNNClassifier(nn.Module):
             (1, 1, kh, kw),
             jnp.float32,
         )
+        cb = 1.0 / (kh * kw) ** 0.5   # torch Conv2d default bias bound
         b = self.param(
             "cnn_bias",
-            nn.initializers.zeros_init(),
+            lambda key, shape, dt=jnp.float32: jax.random.uniform(
+                key, shape, dt, -cb, cb),
             (1,),
             jnp.float32,
         )
@@ -132,9 +137,11 @@ class CNNClassifier(nn.Module):
         ) + b.astype(dtype)
         x = x[:, 0, 0, :]  # [B, layer_dims[0]]
         for i, out_size in enumerate(self.layer_dims[1:]):
-            x = nn.Dense(out_size, name=f"enc_{i}", dtype=self.dtype)(x)
+            x = torch_dense(out_size, self.layer_dims[i], name=f"enc_{i}",
+                            dtype=self.dtype)(x)
             x = nn.leaky_relu(x)
-        return nn.Dense(self.nclass, name="logits", dtype=self.dtype)(x)
+        return torch_dense(self.nclass, self.layer_dims[-1], name="logits",
+                           dtype=self.dtype)(x)
 
 
 class DeepSet(nn.Module):
@@ -151,9 +158,12 @@ class DeepSet(nn.Module):
     def __call__(self, X: Array, mask: Optional[Array] = None) -> Array:
         x = X
         for i in range(3):
-            x = nn.Dense(self.dim_hidden, name=f"enc_{i}", dtype=self.dtype)(x)
+            fi = self.dim_input if i == 0 else self.dim_hidden
+            x = torch_dense(self.dim_hidden, fi, name=f"enc_{i}",
+                            dtype=self.dtype)(x)
             x = nn.relu(x)
-        x = nn.Dense(self.dim_hidden, name="enc_3", dtype=self.dtype)(x)
+        x = torch_dense(self.dim_hidden, self.dim_hidden, name="enc_3",
+                        dtype=self.dtype)(x)
         if mask is None:
             x = jnp.mean(x, axis=-2)
         else:
@@ -162,10 +172,11 @@ class DeepSet(nn.Module):
                 jnp.sum(m, axis=-2), jnp.asarray(1.0, x.dtype)
             )
         for i in range(3):
-            x = nn.Dense(self.dim_hidden, name=f"dec_{i}", dtype=self.dtype)(x)
+            x = torch_dense(self.dim_hidden, self.dim_hidden, name=f"dec_{i}",
+                            dtype=self.dtype)(x)
             x = nn.relu(x)
-        x = nn.Dense(self.num_outputs * self.dim_output, name="dec_3",
-                     dtype=self.dtype)(x)
+        x = torch_dense(self.num_outputs * self.dim_output, self.dim_hidden,
+                        name="dec_3", dtype=self.dtype)(x)
         return x.reshape(-1, self.num_outputs, self.dim_output)
 
 
@@ -202,7 +213,8 @@ class SetTransformer(nn.Module):
             x = PMA(self.dim_hidden, self.num_heads, self.num_outputs, self.ln,
                     self.dtype, name="dec_pma")(x, mask=mask)
             x = nn.Dropout(rate=self.dropout_rate, deterministic=deterministic)(x)
-            x = nn.Dense(self.dim_output, name="dec_out", dtype=self.dtype)(x)
+            x = torch_dense(self.dim_output, self.dim_hidden, name="dec_out",
+                            dtype=self.dtype)(x)
             if self.num_outputs == 1:
                 x = x[:, 0, :]
             return x
@@ -212,4 +224,5 @@ class SetTransformer(nn.Module):
                 name="dec_sab_0")(x)
         x = SAB(self.dim_hidden, self.num_heads, self.ln, self.dtype,
                 name="dec_sab_1")(x)
-        return nn.Dense(self.dim_output, name="dec_out", dtype=self.dtype)(x)
+        return torch_dense(self.dim_output, self.dim_hidden, name="dec_out",
+                           dtype=self.dtype)(x)

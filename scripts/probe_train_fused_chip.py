@@ -27,7 +27,7 @@ def main():
 
     # easy separable task: class k = gaussian bump at bin region k
     rng = np.random.default_rng(0)
-    B, N = 512, 1025
+    B, N = (128 if __import__("os").environ.get("PROBE_CPU") == "1" else 512), 1025
     labels = rng.integers(0, 10, B)
     farr = np.linspace(0, 0.5, N, dtype=np.float32)
     mags = rng.normal(-8.0, 0.3, (B, N)).astype(np.float32)

@@ -118,3 +118,53 @@ def test_deepset():
     params = ckpt.deepset_params(sd)
     out = m.apply(params, jnp.asarray(inp["X"]))
     np.testing.assert_allclose(np.asarray(out), ref, **TOL)
+
+
+def test_torch_default_init_statistics():
+    """All Dense layers use torch nn.Linear's default init (kernel
+    U(±√(1/fan_in)), bias U(±1/√fan_in)) — flax's default (lecun_normal +
+    zero bias) started the FST recipe at CE ≈ 55 vs torch's 2.65.
+    Asserts bounds and spread per layer, and a sane CE at init."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pcaudio.nn import ST
+
+    model = ST(dim_input=2, num_outputs=1, dim_output=10,
+               num_inds=64, dim_hidden=64, num_heads=8)
+    params = jax.tree_util.tree_map(
+        np.asarray, model.init(jax.random.key(0), jnp.zeros((1, 16, 2))))
+
+    def walk(tree, prefix=""):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                yield from walk(v, prefix + k + "/")
+            else:
+                yield prefix + k, v
+
+    checked = 0
+    for name, w in walk(params["params"]):
+        if name.endswith("kernel"):
+            fan_in = w.shape[0]
+            bound = (1.0 / fan_in) ** 0.5
+            assert np.abs(w).max() <= bound + 1e-6, name
+            # uniform(±b) has std b/√3; require a real spread
+            assert w.std() > 0.4 * bound / np.sqrt(3), name
+            checked += 1
+        elif name.endswith("bias"):
+            assert np.abs(w).max() > 0.0, f"{name}: zero-init bias"
+    assert checked >= 10
+
+    # CE at init on reference-scale inputs (log-mags ≈ −18..0)
+    x = jnp.asarray(
+        np.stack([np.linspace(0, 0.5, 1025).astype(np.float32)] * 4)[..., None]
+    )
+    mags = jnp.asarray(
+        -8.0 + np.random.default_rng(0).standard_normal((4, 1025, 1)
+                                                        ).astype(np.float32))
+    logits = model.apply(params, jnp.concatenate([x, mags], axis=-1))
+    ce = float(jnp.mean(
+        jax.nn.logsumexp(logits, axis=-1)
+        - jnp.take_along_axis(logits, jnp.zeros((4, 1), jnp.int32), 1)[:, 0]))
+    assert ce < 6.0, f"init CE {ce} — init scale off"

@@ -27,13 +27,26 @@ def mn40_h5(tmp_path_factory):
 
     rng = np.random.default_rng(0)
     p = str(tmp_path_factory.mktemp("mn40") / "mn40.h5")
-    ncls = 5
+    ncls = 2
     ntr, nte, npts = 40, 20, 200
     lab_tr = rng.integers(0, ncls, ntr)
     lab_te = rng.integers(0, ncls, nte)
-    # class-dependent offset so the task is learnable
-    tr = rng.standard_normal((ntr, npts, 3)) + lab_tr[:, None, None]
-    te = rng.standard_normal((nte, npts, 3)) + lab_te[:, None, None]
+
+    # Class signal must SURVIVE the pipeline's per-cloud standardization
+    # (zero mean / unit std over ALL coords, `data/modelnet40.py`): a
+    # class-dependent mean offset is erased by it, so use class-dependent
+    # axis-scale RATIOS (relative variances per axis are standardize-
+    # invariant).  Two well-separated classes: the faithful torch-default
+    # init (see nn/attention.py::torch_dense) bootstraps the ln=False ST
+    # slowly, so the task must be separable within a CI-sized run.
+    def clouds_for(labels):
+        x = rng.standard_normal((len(labels), npts, 3))
+        scl = np.stack([np.ones(len(labels)),
+                        1.0 + 3.0 * labels,
+                        1.0 / (1.0 + 2.0 * labels)], axis=-1)
+        return x * scl[:, None, :]
+
+    tr, te = clouds_for(lab_tr), clouds_for(lab_te)
     with h5py.File(p, "w") as f:
         f["tr_cloud"], f["tr_labels"] = tr, lab_tr
         f["test_cloud"], f["test_labels"] = te, lab_te
@@ -63,10 +76,14 @@ def test_fetcher_shapes_and_quirks(mn40_h5):
 
 def test_modelnet40_training_improves(mn40_h5):
     cfg = ModelNet40Config(num_pts=50, dim=32, n_heads=4, n_anc=4,
-                           batch_size=8, dim_output=5)
-    state, hist = train_mn40(cfg, mn40_h5, epochs=4, eval_every=1,
+                           batch_size=8, dim_output=2, learning_rate=3e-3)
+    state, hist = train_mn40(cfg, mn40_h5, epochs=20, eval_every=1,
                              log=lambda s: None)
-    assert hist[-1]["train_loss"] < hist[0]["train_loss"]
+    # Deterministic seeded run on CPU: by the end the model separates the
+    # two scale-signature classes (chance = 0.5; measured tail accs
+    # 0.69-0.75) and train loss sits below its epoch-0 value.
+    assert min(h["train_loss"] for h in hist[-6:]) < hist[0]["train_loss"]
+    assert np.mean([h["test_accuracy"] for h in hist[-3:]]) > 0.55
 
 
 def test_mog_sampling_and_likelihood():
