@@ -3,9 +3,28 @@ in-kernel f32→int8 quantization (round + convert), int8 dot_general with
 int32 accumulation, f32 dequant — and what does the full quantized attend
 cost vs the bf16 one at the REAL serving shapes?
 
-Shapes (one pair, v6): MAB0 logits [2hm=1024, dv2=128]×[K=128, dv2]ᵀ,
-MAB0 av [1024, 128]×[128, 128]; MAB1 lgT [m=64,dv2]×[2hK=2048,dv2]ᵀ,
-MAB1 av [2048, 64]ᵀ×[64, 128].  P pairs unrolled like the kernel does.
+Shape probed (one pair, v6 MAB0): logits [2hm=1024, dv2=128]×[K=128, dv2]ᵀ
+then av [1024, K=128]×[K, dv2].  The static queries (iq_bd) are quantized
+OUTSIDE the loop (in the real kernel they are host-precomputed weights);
+k/v are quantized in-kernel per pair, exactly what the production kernel
+would have to do.  Grid steps read distinct windows (program_id indexing)
+so Mosaic cannot CSE the work away.
+
+MEASURED RESULT (v5e, 2026-08, docs/PERFORMANCE.md): int8 LOSES —
+1.282 µs/attend vs bf16's 1.099.  The int8 dots themselves are ~1.32x
+faster at this shape (probe_int8_matmul.py), but the unavoidable
+in-kernel quantize/dequant elementwise passes (k/v max-reduce + round +
+convert, and above all round(a·127) over the [1024, K] softmax output
+for the AV matmul) cost more than the MXU saves.  int8 attends only pay
+if quantization is amortized OUT of the attend (e.g. fused into the
+projection epilogues) AND the probability quantization for AV is
+avoided — at which point only the logits matmul is int8 (~5% of the
+attend, not worth the accuracy asterisk).
+
+Timing note: on the axon tunnel backend ``block_until_ready`` returns
+before the device work completes — time N dispatches and force ONE
+scalar readback (``float(jnp.sum(o))``) to flush the queue, as every
+bench in this repo does.
 """
 import time
 
@@ -23,6 +42,7 @@ def main():
     dv2 = 128
     h, m = 8, 64
     rows0 = 2 * h * m          # 1024
+    GRID = 1024
 
     def quant(x):
         """f32 [n, d] → (int8 values, f32 scale scalar)."""
@@ -32,12 +52,16 @@ def main():
 
     def make_kernel(mode):
         def kern(iq_ref, k_ref, o_ref):
-            iq = iq_ref[...]            # [rows0, dv2] f32 (static queries)
+            g = pl.program_id(0)
             acc = jnp.zeros((rows0, dv2), jnp.float32)
+            if mode == "int8":
+                iq8, s_q = quant(iq_ref[...])   # loop-invariant (hoistable)
+            else:
+                iqb = iq_ref[...].astype(jnp.bfloat16)
             for p in range(P):
-                k_p = k_ref[p * K:(p + 1) * K]            # [K, dv2] f32
+                off = (g % P) * K + p * K
+                k_p = k_ref[pl.ds(off, K), :]
                 if mode == "int8":
-                    iq8, s_q = quant(iq)
                     k8, s_k = quant(k_p)
                     lg = jax.lax.dot_general(
                         iq8, k8,
@@ -47,53 +71,56 @@ def main():
                     pexp = jnp.exp(jnp.clip(lg, -50.0, 50.0))
                     a = pexp / jnp.sum(pexp, axis=-1, keepdims=True)
                     a8 = jnp.round(a * 127.0).astype(jnp.int8)
-                    v8, s_v = quant(k_p)
                     av = jax.lax.dot_general(
-                        a8, v8,
+                        a8, k8,
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.int32
-                    ).astype(jnp.float32) * (s_v / 127.0)
+                    ).astype(jnp.float32) * (s_k / 127.0)
                 else:
+                    kb = k_p.astype(jnp.bfloat16)
                     lg = jax.lax.dot_general(
-                        iq.astype(jnp.bfloat16), k_p.astype(jnp.bfloat16),
+                        iqb, kb,
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32) * 0.125
                     pexp = jnp.exp(jnp.clip(lg, -50.0, 50.0))
                     a = pexp / jnp.sum(pexp, axis=-1, keepdims=True)
-                    av = jnp.dot(a.astype(jnp.bfloat16),
-                                 k_p.astype(jnp.bfloat16),
+                    av = jnp.dot(a.astype(jnp.bfloat16), kb,
                                  preferred_element_type=jnp.float32)
                 acc = acc + av
-            o_ref[...] = acc
+
+            @pl.when(g == 0)
+            def _():
+                o_ref[...] = jnp.zeros_like(o_ref)
+
+            o_ref[...] += acc   # keep every grid step's work live (no DCE)
         return kern
 
     rng = np.random.default_rng(0)
     iq = jnp.asarray(rng.normal(0, 1.5, (rows0, dv2)).astype(np.float32))
-    kmat = jnp.asarray(rng.normal(0, 1.2, (P * K, dv2)).astype(np.float32))
+    kmat = jnp.asarray(rng.normal(0, 1.2, (2 * P * K, dv2)).astype(np.float32))
 
     outs = {}
     for mode in ("bf16", "int8"):
         try:
             f = jax.jit(lambda iq, kmat, mode=mode: pl.pallas_call(
                 make_kernel(mode),
-                grid=(512,),
+                grid=(GRID,),
                 out_shape=jax.ShapeDtypeStruct((rows0, dv2), jnp.float32),
                 in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
                 out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
                 compiler_params=pltpu.CompilerParams(
                     dimension_semantics=("arbitrary",)),
             )(iq, kmat))
-            o = f(iq, kmat)
-            o.block_until_ready()
+            float(jnp.sum(f(iq, kmat)))   # warmup + real sync
             t0 = time.perf_counter()
             for _ in range(5):
                 o = f(iq, kmat)
-            o.block_until_ready()
+            float(jnp.sum(o))             # ONE readback flushes the queue
             dt = (time.perf_counter() - t0) / 5
             outs[mode] = np.asarray(o)
-            n_attends = 512 * P
-            print(f"{mode}: {dt*1e3:7.2f} ms   {dt/n_attends*1e6:.3f} µs/attend",
-                  flush=True)
+            n_attends = GRID * P
+            print(f"{mode}: {dt*1e3:7.2f} ms   "
+                  f"{dt/n_attends*1e6:.3f} µs/attend", flush=True)
         except Exception as e:
             print(f"{mode}: FAILED {type(e).__name__}: {e}", flush=True)
 
