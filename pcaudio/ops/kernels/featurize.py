@@ -55,7 +55,15 @@ _LOG10 = 2.302585092994046
 
 def _kernel(len_ref, x_ref, w0_ref, w1_ref, p0a_ref, p0b_ref,
             out_ref, info_ref, scratch, *,
-            L, R, F, C, Nt, T, hop, trim, top_db, out_dtype, compute_dtype):
+            L, R, F, C, Nt, T, hop, trim, top_db, out_dtype, compute_dtype,
+            shift):
+    # kernel-engineering probe: PCAUDIO_FEATURIZE_PROFILE strips one class
+    # of work (WRONG results, timing only) to attribute kernel time:
+    # "notrim" (skip the in-kernel trim detector), "noboundary" (skip the
+    # two reflect boundary frames), "noswitch" (static scratch read instead
+    # of the aligned dynamic window + 8-way switch), "dftonly" (all three
+    # skipped: interior DFT matmuls + scratch + output write floor).
+    _profile = os.environ.get("PCAUDIO_FEATURIZE_PROFILE", "")
     c = pl.program_id(0)
     length = len_ref[c]
     x = x_ref[0]                                           # [R, hop] f32
@@ -63,7 +71,7 @@ def _kernel(len_ref, x_ref, w0_ref, w1_ref, p0a_ref, p0b_ref,
             + jax.lax.broadcasted_iota(jnp.int32, (R, hop), 1))
 
     # ---- trim (librosa effects.trim), all from the resident rows -------
-    if trim:
+    if trim and _profile not in ("dftonly", "notrim"):
         xsq = jnp.where(sidx < length, x * x, 0.0)         # [R, hop] f32
         eb = jnp.sum(xsq, axis=1, keepdims=True)           # [R, 1]
 
@@ -90,15 +98,15 @@ def _kernel(len_ref, x_ref, w0_ref, w1_ref, p0a_ref, p0b_ref,
         # `length` mirror a tail window ending at length-2 (trim.py).  They
         # are ≤4 frames; each needs Σ xsq over [length-1-w, length-1).
         # Computed as prefix-sum differences S(hi) − S(lo): the block-level
-        # prefix comes from a strict-lower-triangular matvec over eb (MXU),
-        # the sample-level residue from a one-hot row extraction + lane-
-        # masked sum — ~5 tiny matmuls instead of 4 full passes over the
-        # clip (Mosaic has no value dynamic_slice, and staging xsq through
-        # the scratch for a windowed read crashes the remote compiler).
-        lt = (jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
-              < jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
-              ).astype(jnp.float32)
-        eb_ex = jnp.dot(lt, eb, preferred_element_type=jnp.float32)  # [R,1]
+        # prefix at each query row comes DIRECTLY from a masked-sum matmul
+        # over eb ((rio5 < r5)·eb — an [8,R]×[R,1] dot), the sample-level
+        # residue from a one-hot row extraction + lane-masked sum — ~4 tiny
+        # matmuls instead of 4 full passes over the clip (Mosaic has no
+        # value dynamic_slice, and staging xsq through the scratch for a
+        # windowed read crashes the remote compiler).  An earlier form
+        # materialized the FULL prefix via a strict-lower [R,R]×[R,1] f32
+        # matvec and row-selected it — the lane-1 RHS pads to 128 lanes,
+        # ~24 GMAC of f32 per serving batch spent producing 8 scalars.
 
         # All 5 prefix queries (the tail-window hi + 4 per-frame los) are
         # STACKED into one [5, R] one-hot row-select matmul + vectorized
@@ -128,15 +136,14 @@ def _kernel(len_ref, x_ref, w0_ref, w1_ref, p0a_ref, p0b_ref,
         rio5 = jax.lax.broadcasted_iota(jnp.int32, (8, R), 1)
         row5 = jnp.dot((rio5 == r5).astype(jnp.float32), xsq,
                        preferred_element_type=jnp.float32)       # [8, hop]
-        ex5 = jnp.dot((rio5 == r5).astype(jnp.float32), eb_ex,
+        ex5 = jnp.dot((rio5 < r5).astype(jnp.float32), eb,
                       preferred_element_type=jnp.float32)        # [8, 1]
         lane5 = jax.lax.broadcasted_iota(jnp.int32, (8, hop), 1)
         part5 = jnp.sum(jnp.where(lane5 < c5, row5, 0.0), axis=1,
                         keepdims=True)                           # [8, 1]
-        # u == R·hop has r == R: every eb counted, no partial row
-        over = r5 >= R
-        pre5 = (jnp.where(over, jnp.sum(eb), ex5[:, :1])
-                + jnp.where(over, 0.0, part5))                   # [5, 1]
+        # u == R·hop has r5 == R: the mask covers every eb row and c5 == 0
+        # zeroes the partial row — no special case needed
+        pre5 = ex5[:, :1] + part5                                # [5, 1]
         s_hi = pre5[0, 0]
         for j in range(4):
             val = s_hi - pre5[1 + j, 0]
@@ -172,79 +179,104 @@ def _kernel(len_ref, x_ref, w0_ref, w1_ref, p0a_ref, p0b_ref,
     # Single-bounce reflect only: exact whenever tlen ≥ n_fft, which holds
     # for every clip with at least one valid chunk (needs tlen ≥ (Nt−1)·hop);
     # shorter clips produce masked garbage.
+    do_boundary = _profile not in ("dftonly", "noboundary")
     t_last = tlen // hop
     xs = jnp.where(sidx < length, x, 0.0).astype(compute_dtype)
     start_s = s0 * hop
 
-    def row_window(r0, nrows):
-        oh = (jax.lax.broadcasted_iota(jnp.int32, (nrows, R), 1)
-              == jax.lax.broadcasted_iota(jnp.int32, (nrows, R), 0) + r0
-              ).astype(compute_dtype)
-        return jnp.dot(oh, xs, preferred_element_type=jnp.float32
-                       ).astype(compute_dtype)             # [nrows, hop]
+    if do_boundary:
+        def row_window(r0, nrows):
+            oh = (jax.lax.broadcasted_iota(jnp.int32, (nrows, R), 1)
+                  == jax.lax.broadcasted_iota(jnp.int32, (nrows, R), 0) + r0
+                  ).astype(compute_dtype)
+            return jnp.dot(oh, xs, preferred_element_type=jnp.float32
+                           ).astype(compute_dtype)         # [nrows, hop]
 
-    def frame_m2(frame):
-        reim_b = (jnp.dot(frame[:, :hop], w0_ref[...],
+        def frame_m2(frame):
+            reim_b = (jnp.dot(frame[:, :hop], w0_ref[...],
+                              preferred_element_type=jnp.float32)
+                      + jnp.dot(frame[:, hop:], w1_ref[...],
+                                preferred_element_type=jnp.float32))
+            return reim_b[:, :F] ** 2 + reim_b[:, F:] ** 2  # [1, F]
+
+        # left (frame 0): window = trimmed samples [0, 1024) = rows s0,
+        # s0+1; frame0[j] = window[|j−512|] — a CONSTANT map, applied via
+        # the precomputed reflect operands (p0a/p0b), zero comparisons.
+        w01 = row_window(jnp.clip(s0, 0, max(R - 2, 0)), 2)
+        frame0 = (jnp.dot(w01[0:1], p0a_ref[...],
                           preferred_element_type=jnp.float32)
-                  + jnp.dot(frame[:, hop:], w1_ref[...],
-                            preferred_element_type=jnp.float32))
-        return reim_b[:, :F] ** 2 + reim_b[:, F:] ** 2     # [1, F]
+                  + jnp.dot(w01[1:2], p0b_ref[...],
+                            preferred_element_type=jnp.float32)
+                  ).astype(compute_dtype)
+        m2_left = frame_m2(frame0)
 
-    # left (frame 0): window = trimmed samples [0, 1024) = rows s0, s0+1;
-    # frame0[j] = window[|j−512|] — a CONSTANT map, applied via the
-    # precomputed reflect operands (p0a/p0b), zero comparisons.
-    w01 = row_window(jnp.clip(s0, 0, max(R - 2, 0)), 2)
-    frame0 = (jnp.dot(w01[0:1], p0a_ref[...],
-                      preferred_element_type=jnp.float32)
-              + jnp.dot(w01[1:2], p0b_ref[...],
-                        preferred_element_type=jnp.float32)
-              ).astype(compute_dtype)
-    m2_left = frame_m2(frame0)
+        # right (frame t_last): 3-row window rows s0+t_last−2 … s0+t_last,
+        # assembled by target-index one-hot map matmuls.  A cyclic-roll
+        # formulation (2 dynamic f32 pltpu.rolls of the flattened window +
+        # a constant lane-flip matmul, ~500x fewer VPU compares) was built
+        # and chip-measured at 13.58 vs 13.20 ms/batch — the iota-equality
+        # builds are NOT on the kernel's critical path, so the simpler
+        # form stays.
+        r3 = jnp.clip(s0 + t_last - 2, 0, max(R - 3, 0))
+        w3 = row_window(r3, 3)
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * hop), 1)
+        tj = t_last * hop + j - hop
+        g_abs = start_s + jnp.where(tj < tlen, tj,
+                                    2 * tlen - 2 - tj)  # single bounce
+        target = jnp.clip(g_abs - r3 * hop, 0, 3 * hop - 1)
+        frame_l = jnp.zeros((1, 2 * hop), jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (hop, 2 * hop), 0)
+        for r in range(3):
+            sel_r = (lane + r * hop == target).astype(compute_dtype)
+            frame_l = frame_l + jnp.dot(w3[r: r + 1], sel_r,
+                                        preferred_element_type=jnp.float32)
+        m2_right = frame_m2(frame_l.astype(compute_dtype))
+        m2b = [m2_left, m2_right]
 
-    # right (frame t_last): 3-row window rows s0+t_last−2 … s0+t_last,
-    # assembled by target-index one-hot map matmuls.  A cyclic-roll
-    # formulation (2 dynamic f32 pltpu.rolls of the flattened window + a
-    # constant lane-flip matmul, ~500x fewer VPU compares) was built and
-    # chip-measured at 13.58 vs 13.20 ms/batch — the iota-equality builds
-    # are NOT on the kernel's critical path, so the simpler form stays.
-    r3 = jnp.clip(s0 + t_last - 2, 0, max(R - 3, 0))
-    w3 = row_window(r3, 3)
-    j = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * hop), 1)
-    tj = t_last * hop + j - hop
-    g_abs = start_s + jnp.where(tj < tlen, tj,
-                                2 * tlen - 2 - tj)      # single bounce
-    target = jnp.clip(g_abs - r3 * hop, 0, 3 * hop - 1)
-    frame_l = jnp.zeros((1, 2 * hop), jnp.float32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (hop, 2 * hop), 0)
-    for r in range(3):
-        sel_r = (lane + r * hop == target).astype(compute_dtype)
-        frame_l = frame_l + jnp.dot(w3[r: r + 1], sel_r,
-                                    preferred_element_type=jnp.float32)
-    m2_right = frame_m2(frame_l.astype(compute_dtype))
-    m2b = [m2_left, m2_right]
-
-    # ---- trim shift + chunking via the aligned-scratch switch ----------
-    # Mosaic requires dynamic sublane offsets ≡ 0 (mod 8): the trim shift is
-    # split into an aligned dynamic window read + an 8-way static-slice
-    # switch for the residual.
-    # zero only the rows the m2 write below does NOT cover (reads past the
-    # valid region must stay finite; a prior program's garbage there would
-    # poison masked chunks with NaN through the 0-weighted pooling)
-    BASE = 8
-    scratch[0:BASE, :] = jnp.zeros((BASE, F), jnp.float32)
-    scratch[BASE + R - 1:, :] = jnp.zeros(
-        (scratch.shape[0] - (BASE + R - 1), F), jnp.float32)
-    scratch[BASE: BASE + R - 1, :] = m2     # spectrum row r ↦ frame r+1
-    # frame t = spectrum row (s0 + t − 1) = scratch row (BASE − 1 + s0) + t
-    u = BASE - 1 + s0
-    u_c = pl.multiple_of((u // 8) * 8, 8)
-    delta = u - u_c
-    window = scratch[pl.ds(u_c, C * Nt + 8), :]
-    frames = jax.lax.switch(
-        delta, [lambda w=window, d=d: w[d: d + C * Nt] for d in range(8)])
-    row = jax.lax.broadcasted_iota(jnp.int32, (C * Nt, 1), 0)
-    frames = jnp.where(row == 0, m2b[0], frames)
-    frames = jnp.where(row == t_last, m2b[1], frames)
+    # ---- trim shift + chunking --------------------------------------
+    # frame t = spectrum row (s0 + t − 1).  Two formulations:
+    #   * "onehot": ONE [C·Nt, R−1] one-hot shift matmul (row t selects
+    #     spectrum row s0−1+t; out-of-range rows match nothing → 0).  The
+    #     MXU work is ~1 ms at serving batch vs the switch's measured
+    #     3.9 ms (profile_featurize_stages.py) and no scratch is touched.
+    #     Selection commutes with the bf16 rounding (one-hot bf16 matmuls
+    #     with f32 accumulation are exact), so for bf16 compute the output
+    #     is bit-identical to the switch path — the serving default.
+    #   * "switch": stage m2 through a VMEM scratch; Mosaic requires
+    #     dynamic sublane offsets ≡ 0 (mod 8), so the trim shift is an
+    #     aligned dynamic window read + an 8-way static-slice switch for
+    #     the residual.  Keeps full f32 row values end-to-end — the
+    #     default whenever compute/out dtypes are f32 (highest precision).
+    if shift == "onehot" and _profile not in ("dftonly", "noswitch"):
+        rio = jax.lax.broadcasted_iota(jnp.int32, (C * Nt, R - 1), 0)
+        cio = jax.lax.broadcasted_iota(jnp.int32, (C * Nt, R - 1), 1)
+        oh = (cio == rio + (s0 - 1)).astype(compute_dtype)
+        frames = jnp.dot(oh, m2.astype(compute_dtype),
+                         preferred_element_type=jnp.float32)
+    else:
+        # zero only the rows the m2 write below does NOT cover (reads past
+        # the valid region must stay finite; a prior program's garbage
+        # there would poison masked chunks with NaN through the 0-weighted
+        # pooling)
+        BASE = 8
+        scratch[0:BASE, :] = jnp.zeros((BASE, F), jnp.float32)
+        scratch[BASE + R - 1:, :] = jnp.zeros(
+            (scratch.shape[0] - (BASE + R - 1), F), jnp.float32)
+        scratch[BASE: BASE + R - 1, :] = m2  # spectrum row r ↦ frame r+1
+        if _profile in ("dftonly", "noswitch"):
+            frames = scratch[BASE: BASE + C * Nt, :]
+        else:
+            u = BASE - 1 + s0
+            u_c = pl.multiple_of((u // 8) * 8, 8)
+            delta = u - u_c
+            window = scratch[pl.ds(u_c, C * Nt + 8), :]
+            frames = jax.lax.switch(
+                delta,
+                [lambda w=window, d=d: w[d: d + C * Nt] for d in range(8)])
+    if do_boundary:
+        row = jax.lax.broadcasted_iota(jnp.int32, (C * Nt, 1), 0)
+        frames = jnp.where(row == 0, m2b[0], frames)
+        frames = jnp.where(row == t_last, m2b[1], frames)
     out_ref[0] = frames.reshape(C, Nt, F).astype(out_dtype)
 
 
@@ -258,6 +290,7 @@ def fused_chunk_mag2(
     top_db: float = 60.0,
     out_dtype=jnp.bfloat16,
     compute_dtype=jnp.bfloat16,
+    shift: str = None,
     interpret=None,
 ) -> Tuple[Array, Array]:
     """Batched fused featurize: ``[B, L]`` waves → ``(chunk_mag2
@@ -305,9 +338,21 @@ def fused_chunk_mag2(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    # trim-shift formulation (see _kernel): one-hot shift matmul whenever
+    # the output is bf16 anyway (selection commutes with the rounding —
+    # bit-identical, measured faster); scratch+switch keeps f32 exactness
+    if shift is None:
+        shift = os.environ.get("PCAUDIO_FEATURIZE_SHIFT", "auto")
+    if shift == "auto":
+        shift = ("onehot"
+                 if jnp.dtype(out_dtype) == jnp.dtype(jnp.bfloat16)
+                 else "switch")
+    assert shift in ("onehot", "switch")
+
     kern = functools.partial(
         _kernel, L=L, R=R, F=F, C=C, Nt=Nt, T=T, hop=hop, trim=trim,
-        top_db=top_db, out_dtype=out_dtype, compute_dtype=compute_dtype)
+        top_db=top_db, out_dtype=out_dtype, compute_dtype=compute_dtype,
+        shift=shift)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
