@@ -55,6 +55,30 @@ def test_fused_featurize_matches_xla(trim):
                                rtol=0.08, atol=5e-4)
 
 
+@pytest.mark.parametrize("dtypes", [(jnp.bfloat16, jnp.bfloat16),
+                                    (jnp.float32, jnp.float32)])
+def test_shift_onehot_matches_switch(dtypes):
+    """The two trim-shift formulations (one-hot shift matmul vs the
+    aligned-scratch 8-way switch) must agree bit-for-bit: selection
+    commutes with the output rounding.  Exercises a trimmed clip so the
+    shift is non-zero (s0 > 0)."""
+    out_dt, comp_dt = dtypes
+    rng = np.random.default_rng(1)
+    B, L = 3, 20480
+    waves = np.asarray(0.1 * rng.standard_normal((B, L)), np.float32)
+    waves[2, :4000] = 0.0  # leading silence → trim shift engages
+    waves[2, 16000:] = 0.0
+    waves = jnp.asarray(waves)
+    lengths = jnp.asarray([20000, 18000, L], jnp.int32)
+    a, ma = fused_chunk_mag2(waves, lengths, out_dtype=out_dt,
+                             compute_dtype=comp_dt, shift="switch")
+    b, mb = fused_chunk_mag2(waves, lengths, out_dtype=out_dt,
+                             compute_dtype=comp_dt, shift="onehot")
+    np.testing.assert_array_equal(np.asarray(ma), np.asarray(mb))
+    np.testing.assert_array_equal(
+        np.asarray(a, np.float32), np.asarray(b, np.float32))
+
+
 def test_fused_featurize_all_silent_clip_finite():
     waves = jnp.zeros((2, 8192), jnp.float32)
     lengths = jnp.asarray([8192, 0], jnp.int32)
