@@ -370,25 +370,31 @@ def _make_kernel_v6(num_heads: int, dv: int, num_inds: int, din: int,
             preferred_element_type=jnp.float32)            # [2·h·K, dv2]
         return q_p + head_sum(av, K)
 
-    def isab_block(x_blk, mb, iq_bd2, iq2, k0w, k0b, v0w, v0b, o0w, o0b,
-                   q1w, q1b, k1w, k1b, v1w, v1b, o1w, o1b):
-        """x_blk [P·K, 2·din or dv2] bf16 → [P·K, dv2] f32."""
-        kb = (jnp.dot(x_blk, k0w, preferred_element_type=jnp.float32)
-              + k0b).astype(jnp.bfloat16)
-        vb = (jnp.dot(x_blk, v0w, preferred_element_type=jnp.float32)
-              + v0b).astype(jnp.bfloat16)
+    def isab_block(x_blk, mb, iq_bd2, iq2, kvq0w, kvq0b, o0w, o0b,
+                   kv1w, kv1b, o1w, o1b):
+        """x_blk [P·K, 2·din or dv2] bf16 → [P·K, dv2] f32.
+
+        The three x-side projections (fc_k, fc_v and MAB1's fc_q) ride ONE
+        [·, 3·dv2] matmul and the two H-side ones (MAB1 fc_k/fc_v) another
+        [·, 2·dv2] — fewer weight-load passes and dispatches than six
+        [·, dv2] dots; the results are recovered by 128-aligned lane
+        slices."""
+        f0 = (jnp.dot(x_blk, kvq0w, preferred_element_type=jnp.float32)
+              + kvq0b)                                     # [P·K, 3·dv2]
+        kb = f0[:, :dv2].astype(jnp.bfloat16)
+        vb = f0[:, dv2: 2 * dv2].astype(jnp.bfloat16)
+        qb = f0[:, 2 * dv2:]
         o0 = []
         for s in range(P):
             sl = slice(s * K, (s + 1) * K)
             o0.append(mab0_attend(iq_bd2, iq2, kb[sl], vb[sl],
                                   pair_bias(mb[s], h * m)))
         H = rff_block(jnp.concatenate(o0, axis=0), o0w, o0b)  # [P·m, dv2]
-        qb = jnp.dot(x_blk, q1w, preferred_element_type=jnp.float32) + q1b
         Hb = H.astype(jnp.bfloat16)
-        k1 = (jnp.dot(Hb, k1w, preferred_element_type=jnp.float32)
-              + k1b).astype(jnp.bfloat16)
-        v1 = (jnp.dot(Hb, v1w, preferred_element_type=jnp.float32)
-              + v1b).astype(jnp.bfloat16)
+        f1 = (jnp.dot(Hb, kv1w, preferred_element_type=jnp.float32)
+              + kv1b)                                      # [P·m, 2·dv2]
+        k1 = f1[:, :dv2].astype(jnp.bfloat16)
+        v1 = f1[:, dv2:].astype(jnp.bfloat16)
         o1 = []
         for s in range(P):
             slk = slice(s * K, (s + 1) * K)
@@ -397,11 +403,11 @@ def _make_kernel_v6(num_heads: int, dv: int, num_inds: int, din: int,
         return rff_block(jnp.concatenate(o1, axis=0), o1w, o1b)
 
     def kernel(points_ref, maskbias_ref,
-               i1_bd, i1, k10w, k10b, v10w, v10b, o10w, o10b,
-               q11w, q11b, k11w, k11b, v11w, v11b, o11w, o11b,
-               i2_bd, i2, k20w, k20b, v20w, v20b, o20w, o20b,
-               q21w, q21b, k21w, k21b, v21w, v21b, o21w, o21b,
-               s_bd, s_dense, kpw, kpb, vpw, vpb, opw, opb,
+               i1_bd, i1, kvq10w, kvq10b, o10w, o10b, kv11w, kv11b,
+               o11w, o11b,
+               i2_bd, i2, kvq20w, kvq20b, o20w, o20b, kv21w, kv21b,
+               o21w, o21b,
+               s_bd, s_dense, kvpw, kvpb, opw, opb,
                dw, db,
                out_ref):
         if _profile == "copyonly":
@@ -412,26 +418,22 @@ def _make_kernel_v6(num_heads: int, dv: int, num_inds: int, din: int,
         x = points_ref[:].reshape(P * K, 2 * din).astype(jnp.bfloat16)
         mb = maskbias_ref[:]                               # [P, 2, K]
         if _profile == "projonly":
-            y = jnp.dot(x, k10w[...], preferred_element_type=jnp.float32)
+            y = jnp.dot(x, kvq10w[...], preferred_element_type=jnp.float32)
             out_ref[:] = jnp.broadcast_to(
-                jnp.sum(y.reshape(P, K * 2 * dv), axis=1)[:, None],
+                jnp.sum(y.reshape(P, K * 6 * dv), axis=1)[:, None],
                 (P, 2 * ncls))
             return
         x1 = isab_block(x, mb, i1_bd[...], i1[...],
-                        k10w[...], k10b[...], v10w[...], v10b[...],
-                        o10w[...], o10b[...],
-                        q11w[...], q11b[...], k11w[...], k11b[...],
-                        v11w[...], v11b[...], o11w[...], o11b[...])
+                        kvq10w[...], kvq10b[...], o10w[...], o10b[...],
+                        kv11w[...], kv11b[...], o11w[...], o11b[...])
         x2 = isab_block(x1.astype(jnp.bfloat16), mb, i2_bd[...], i2[...],
-                        k20w[...], k20b[...], v20w[...], v20b[...],
-                        o20w[...], o20b[...],
-                        q21w[...], q21b[...], k21w[...], k21b[...],
-                        v21w[...], v21b[...], o21w[...], o21b[...])
+                        kvq20w[...], kvq20b[...], o20w[...], o20b[...],
+                        kv21w[...], kv21b[...], o21w[...], o21b[...])
         x2b = x2.astype(jnp.bfloat16)
-        kp = (jnp.dot(x2b, kpw[...], preferred_element_type=jnp.float32)
-              + kpb[...]).astype(jnp.bfloat16)
-        vp = (jnp.dot(x2b, vpw[...], preferred_element_type=jnp.float32)
-              + vpb[...]).astype(jnp.bfloat16)
+        fp = (jnp.dot(x2b, kvpw[...], preferred_element_type=jnp.float32)
+              + kvpb[...])                                 # [P·K, 2·dv2]
+        kp = fp[:, :dv2].astype(jnp.bfloat16)
+        vp = fp[:, dv2:].astype(jnp.bfloat16)
         # PMA batched over ALL pairs: the seed queries are shared, so one
         # [2h, dv2]×[dv2, P·K] matmul + one block-reshaped softmax replace P
         # unrolled attends (only the tiny a·v dots stay per-pair).
@@ -458,7 +460,13 @@ def _make_kernel_v6(num_heads: int, dv: int, num_inds: int, din: int,
 
 
 def _pack_weights_v6(w, num_heads, dv, m, ncls):
-    """v4 weight list → pair-packed (block-diagonal) v6 weight list."""
+    """v4 weight list → pair-packed (block-diagonal) v6 weight list.
+
+    Same-input projections are merged along the output axis so the kernel
+    issues ONE matmul per input tensor: per ISAB the x-side fc_k/fc_v and
+    MAB1's fc_q become a [·, 3·dv2] operand and the H-side MAB1 fc_k/fc_v
+    a [·, 2·dv2] one; PMA's fc_k/fc_v likewise.  Layout per ISAB:
+    [iq_bd, iq, kvq0w, kvq0b, o0w, o0b, kv1w, kv1b, o1w, o1b]."""
     out = []
     i = 0
 
@@ -471,14 +479,26 @@ def _pack_weights_v6(w, num_heads, dv, m, ncls):
         return (_blockdiag2(W.astype(jnp.float32)).astype(W.dtype),
                 jnp.concatenate([b, b], axis=1))
 
-    for _ in range(2):  # two ISABs: iq_bd, iq + 7 denses (k0,v0,o0,q1,k1,v1,o1)
+    def merged(pairs):
+        """[(W, b), ...] same-input denses → one (W_cat, b_cat)."""
+        return (jnp.concatenate([p[0] for p in pairs], axis=1),
+                jnp.concatenate([p[1] for p in pairs], axis=1))
+
+    for _ in range(2):  # ISAB denses in w: k0, v0, o0, q1, k1, v1, o1
         out += list(bd_pair(w[i], w[i + 1]))
-        for j in range(2, 16, 2):
-            out += list(dense_pair(w[i + j], w[i + j + 1]))
+        d = {name: dense_pair(w[i + j], w[i + j + 1])
+             for name, j in (("k0", 2), ("v0", 4), ("o0", 6), ("q1", 8),
+                             ("k1", 10), ("v1", 12), ("o1", 14))}
+        out += list(merged([d["k0"], d["v0"], d["q1"]]))
+        out += list(d["o0"])
+        out += list(merged([d["k1"], d["v1"]]))
+        out += list(d["o1"])
         i += 16
     out += list(bd_pair(w[i], w[i + 1]))      # PMA seeds
-    for j in range(2, 8, 2):                  # kp, vp, op
-        out += list(dense_pair(w[i + j], w[i + j + 1]))
+    kp = dense_pair(w[i + 2], w[i + 3])
+    vp = dense_pair(w[i + 4], w[i + 5])
+    out += list(merged([kp, vp]))
+    out += list(dense_pair(w[i + 6], w[i + 7]))  # op
     i += 8
     out += list(dense_pair(w[i], w[i + 1]))   # final dense
     return out
