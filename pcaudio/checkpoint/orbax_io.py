@@ -36,7 +36,9 @@ def save_checkpoint(
     if opt_state is not None:
         tree["opt_state"] = opt_state
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, tree)
+        # force=True: saving the same step twice overwrites (the end-of-train
+        # save collides with the periodic save whenever epochs % N == 0)
+        ckptr.save(path, tree, force=True)
     if config is not None:
         with open(os.path.join(directory, CONFIG_FILE), "w") as f:
             json.dump(config.to_reference_json(), f)

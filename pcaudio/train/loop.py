@@ -16,6 +16,15 @@ import numpy as np
 from pcaudio.train.step import TrainState
 
 
+def _mean(xs) -> float:
+    """Mean of per-step metrics with ONE device fetch for device scalars."""
+    if xs and isinstance(xs[0], jax.Array):
+        import jax.numpy as jnp
+
+        return float(jnp.stack(xs).mean())
+    return float(np.mean(xs))
+
+
 def _batches(n: int, batch_size: int, rng: np.random.Generator,
              drop_remainder: bool = True):
     order = rng.permutation(n)
@@ -35,6 +44,7 @@ def fit(
     eval_data: Optional[Dict[str, np.ndarray]] = None,
     eval_step: Optional[Callable] = None,
     eval_every: int = 10,
+    device_resident: Optional[bool] = None,
     mesh=None,
     shard_set_axis: bool = False,
     checkpoint_dir: Optional[str] = None,
@@ -54,6 +64,19 @@ def fit(
     rng = np.random.default_rng(seed)
     history: List[Dict[str, Any]] = []
 
+    if device_resident is None:
+        device_resident = mesh is None
+    if device_resident and mesh is None:
+        # Stage the dataset on device ONCE; per-batch `v[idx]` is then an
+        # on-device gather (idx upload is bytes).  The host-resident path
+        # re-ships the whole epoch over H2D — measured 45 s/epoch vs <2 s
+        # on the tunneled chip for the synthetic FST corpus (~1 GB/epoch).
+        import jax.numpy as jnp
+
+        data = {k: jnp.asarray(v) for k, v in data.items()}
+        if eval_data is not None:
+            eval_data = {k: jnp.asarray(v) for k, v in eval_data.items()}
+
     def place(batch):
         if mesh is not None:
             return shard_batch(mesh, batch, shard_set_axis=shard_set_axis)
@@ -69,10 +92,12 @@ def fit(
             state, metrics = train_step(state, batch, sub)
             losses.append(metrics["loss"])
             accs.append(metrics["accuracy"])
+        # one device sync per epoch, not one (or two) per step: the per-step
+        # metrics stay as device scalars so steps dispatch asynchronously
         rec = {
             "epoch": epoch,
-            "train_loss": float(np.mean([float(l) for l in losses])),
-            "train_accuracy": float(np.mean([float(a) for a in accs])),
+            "train_loss": _mean(losses),
+            "train_accuracy": _mean(accs),
             "seconds": time.perf_counter() - t0,
         }
         if eval_data is not None and eval_step is not None and epoch % eval_every == 0:

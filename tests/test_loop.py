@@ -80,3 +80,17 @@ def test_recipe_trains(tag, tmp_path):
     tree, cfg2, step_n = load_checkpoint(str(tmp_path / "ck"))
     assert step_n == 2
     assert cfg2.architecture == cfg.architecture
+
+
+def test_save_same_step_twice_overwrites(tmp_path):
+    # The end-of-train save reuses the step number of the last periodic save
+    # whenever epochs % checkpoint_every == 0 (cli.cmd_train); orbax must
+    # overwrite, not raise "Destination ... already exists".
+    from pcaudio.checkpoint.orbax_io import save_checkpoint
+
+    d = str(tmp_path / "ck")
+    save_checkpoint(d, {"w": np.ones((3,))}, step=4)
+    save_checkpoint(d, {"w": np.zeros((3,))}, step=4)
+    tree, _, step_n = load_checkpoint(d)
+    assert step_n == 4
+    np.testing.assert_array_equal(tree["params"]["w"], np.zeros((3,)))
