@@ -47,16 +47,16 @@ def _time(fn, *args, iters):
     # Best-of-R repeats of the averaged loop: e2e variance on the axon
     # tunnel measures ±4% run-to-run (docs/PERFORMANCE.md), and the min
     # estimates the chip's capability with tunnel hiccups excluded.
-    repeats = int(os.environ.get("PCAUDIO_BENCH_REPEATS", "3"))
+    repeats = max(1, int(os.environ.get("PCAUDIO_BENCH_REPEATS", "3")))
     _sync(fn(*args))  # warmup / compile
-    best = float("inf")
+    times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
         _sync(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+        times.append((time.perf_counter() - t0) / iters)
+    return min(times)
 
 
 def main():

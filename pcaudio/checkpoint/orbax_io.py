@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+import warnings
 from typing import Any, Optional, Tuple
 
 import orbax.checkpoint as ocp
@@ -35,6 +36,10 @@ def save_checkpoint(
     tree = {"params": params}
     if opt_state is not None:
         tree["opt_state"] = opt_state
+    if os.path.exists(path):
+        # make destructive overwrites visible (rerunning training into an
+        # existing out_dir replaces prior checkpoints at colliding steps)
+        warnings.warn(f"overwriting existing checkpoint at {path}")
     with ocp.StandardCheckpointer() as ckptr:
         # force=True: saving the same step twice overwrites (the end-of-train
         # save collides with the periodic save whenever epochs % N == 0)

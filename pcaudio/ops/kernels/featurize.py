@@ -56,14 +56,16 @@ _LOG10 = 2.302585092994046
 def _kernel(len_ref, x_ref, w0_ref, w1_ref, p0a_ref, p0b_ref,
             out_ref, info_ref, scratch, *,
             L, R, F, C, Nt, T, hop, trim, top_db, out_dtype, compute_dtype,
-            shift):
-    # kernel-engineering probe: PCAUDIO_FEATURIZE_PROFILE strips one class
-    # of work (WRONG results, timing only) to attribute kernel time:
-    # "notrim" (skip the in-kernel trim detector), "noboundary" (skip the
-    # two reflect boundary frames), "noswitch" (static scratch read instead
-    # of the aligned dynamic window + 8-way switch), "dftonly" (all three
-    # skipped: interior DFT matmuls + scratch + output write floor).
-    _profile = os.environ.get("PCAUDIO_FEATURIZE_PROFILE", "")
+            shift, profile):
+    # kernel-engineering probe: `profile` strips one class of work (WRONG
+    # results, timing only) to attribute kernel time: "notrim" (skip the
+    # in-kernel trim detector), "noboundary" (skip the two reflect boundary
+    # frames), "noswitch" (static scratch read instead of the aligned
+    # dynamic window + 8-way switch), "dftonly" (all three skipped:
+    # interior DFT matmuls + scratch + output write floor).  Threaded as an
+    # explicit argument (not an env var) so it participates in the jit
+    # trace cache and cannot leak into production runs.
+    _profile = profile
     c = pl.program_id(0)
     length = len_ref[c]
     x = x_ref[0]                                           # [R, hop] f32
@@ -292,6 +294,7 @@ def fused_chunk_mag2(
     compute_dtype=jnp.bfloat16,
     shift: str = None,
     interpret=None,
+    profile: str = "",
 ) -> Tuple[Array, Array]:
     """Batched fused featurize: ``[B, L]`` waves → ``(chunk_mag2
     [B, C, Nt, F], chunk_mask [B, C])`` with ``F = n_fft//2`` (Nyquist
@@ -352,7 +355,7 @@ def fused_chunk_mag2(
     kern = functools.partial(
         _kernel, L=L, R=R, F=F, C=C, Nt=Nt, T=T, hop=hop, trim=trim,
         top_db=top_db, out_dtype=out_dtype, compute_dtype=compute_dtype,
-        shift=shift)
+        shift=shift, profile=profile)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),

@@ -64,8 +64,28 @@ def fit(
     rng = np.random.default_rng(seed)
     history: List[Dict[str, Any]] = []
 
+    if device_resident and mesh is not None:
+        raise ValueError(
+            "device_resident=True is incompatible with a mesh: mesh batches "
+            "are placed per-step by shard_batch. Pass device_resident=False "
+            "(or None) when training over a mesh."
+        )
     if device_resident is None:
-        device_resident = mesh is None
+        # Default device-resident only when the dataset plausibly fits next
+        # to the model in HBM (leave half the device memory for activations
+        # and params); oversized corpora stay host-resident.
+        if mesh is None:
+            nbytes = sum(int(v.nbytes) for v in data.values())
+            if eval_data is not None:
+                nbytes += sum(int(v.nbytes) for v in eval_data.values())
+            try:
+                stats = jax.devices()[0].memory_stats() or {}
+                budget = stats.get("bytes_limit", 8 << 30) // 2
+            except Exception:
+                budget = 4 << 30
+            device_resident = nbytes <= budget
+        else:
+            device_resident = False
     if device_resident and mesh is None:
         # Stage the dataset on device ONCE; per-batch `v[idx]` is then an
         # on-device gather (idx upload is bytes).  The host-resident path
