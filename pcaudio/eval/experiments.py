@@ -30,23 +30,21 @@ from __future__ import annotations
 
 import math
 import os
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pcaudio.dsp.featurize import FeaturizeConfig, batched_temporal_chunks, featurize_batch
-from pcaudio.ops.cloud import frame_cloud, freq_coords, grid_cloud, time_coords
-from pcaudio.ops.subsample import (
-    grid_top_k_replace,
-    importance_heatmap,
-    importance_sample_cloud,
-    rand_k_points,
-    rand_k_replace,
-    top_k_points,
-    top_k_replace,
+from pcaudio.dsp.featurize import (
+    FeaturizeConfig,
+    batched_temporal_chunks,
+    featurize_batch,
+    featurized_max_frames,
 )
+from pcaudio.ops.cloud import frame_cloud, freq_coords, grid_cloud, time_coords
+from pcaudio.ops.subsample import importance_heatmap
 
 Array = jax.Array
 
@@ -161,7 +159,176 @@ def _valid_frames(logmag: Array, mask: Array, labels: Array):
 
 def _accuracy(logits: Array, labels: Array, valid: Array) -> float:
     ok = (jnp.argmax(logits, -1) == labels) & valid
-    return float(jnp.sum(ok) / jnp.maximum(jnp.sum(valid), 1))
+    # exact integer counts, float64 host division (an f32 on-device divide
+    # wobbles the last ~8 bits and breaks cross-engine equality checks)
+    return int(jnp.sum(ok)) / max(int(jnp.sum(valid)), 1)
+
+
+# ---------------------------------------------------------------------------
+# sweep engines
+#
+# The reference eval scripts re-run the whole classifier stack per sweep
+# point in a host loop (``Code/pceval.py:55-192``); a naive port compiles one
+# XLA program per (Fs, N) or per K — measured at 13-27 s per compile on the
+# axon backend, which made a full framewise sweep ~49 min of 99% compile
+# wait (scripts/probe_eval_costs.py).  Two mechanisms fix this:
+#
+#  * expt1: the per-point programs are unavoidable (shapes change), but XLA
+#    compiles from concurrent threads overlap ~4x (measured:
+#    scripts/probe_compile_overlap.py), so a small thread pool prefetches
+#    the upcoming sweep points' featurizations while the current one is
+#    consumed;
+#  * expt2/rebut: the K sweep shares ONE compiled program — selection
+#    becomes a *rank mask* (``rank < K`` with K a traced scan carry) over
+#    the full cloud/grid in original point order, so every K and every
+#    rand-run reuses the same executable and the accuracy reduction stays
+#    on device.  ``_ranks_desc`` reproduces ``jax.lax.top_k``'s exact
+#    selection (descending, ties to the lower index), so the masked top-K
+#    subset is *identical* to the reference's, and the zero-replace modes
+#    produce bit-identical model inputs.
+# ---------------------------------------------------------------------------
+
+_PREFETCH_WINDOW = 8  # in-flight featurized sweep points (bounds HBM use)
+
+
+def _ranks_desc(x: Array) -> Array:
+    """``rank[i]`` = position of element ``i`` in stable descending order of
+    the last axis — ``rank < K`` selects exactly ``jax.lax.top_k(x, K)``'s
+    elements (ties broken toward the lower index, same as top_k)."""
+    n = x.shape[-1]
+    order = jnp.argsort(-x, axis=-1, stable=True)
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), order.shape)
+    return jnp.put_along_axis(
+        jnp.zeros(order.shape, jnp.int32), order, iota, axis=-1, inplace=False
+    )
+
+
+def _prefix_mask_counts(apply_masked, x, rank_src, labels_mb, valid_mb,
+                        kmb, Ks, R):
+    """Device-side K sweep for one microbatch: scan over traced ``Ks``,
+    counting correct predictions for the top-value mask and ``R`` i.i.d.
+    uniform random masks (sampling without replacement ≡ rank the noise).
+
+    ``apply_masked(x, keep [..., n] bool) -> logits``.  Returns
+    ``(counts_max [nK], counts_rand [nK, R])`` int32."""
+    rmax = _ranks_desc(rank_src)
+    noise = jax.random.uniform(kmb, (R,) + rank_src.shape)
+    rrand = _ranks_desc(noise)  # [R, B, n]
+
+    def ok(lg):
+        hit = (jnp.argmax(lg, -1) == labels_mb) & valid_mb
+        return jnp.sum(hit.astype(jnp.int32))
+
+    def body(_, K):
+        cm = ok(apply_masked(x, rmax < K))
+
+        def rb(_, rr):
+            return None, ok(apply_masked(x, rr < K))
+
+        _, cr = jax.lax.scan(rb, None, rrand)
+        return None, (cm, cr)
+
+    _, (cmax, crand) = jax.lax.scan(body, None, Ks)
+    return cmax, crand
+
+
+def _run_masked_sweep(mb_counts, arrays: Sequence[Array], labels: Array,
+                      valid: Array, key: Array, list_K: Sequence[int],
+                      mb: int, R: int):
+    """Microbatch driver for a masked K sweep: pads axis-0 slices of
+    ``arrays`` to ``mb``, folds the key per microbatch, accumulates the
+    jitted ``mb_counts(*slices, labels_mb, valid_mb, key_mb, Ks)`` counts
+    host-side, and returns the reference-schema dicts
+    ``(randK {"data": {K: [mean, var]}}, maxK {"data": {K: [acc, 0]}})``."""
+    n = labels.shape[0]
+    nK = len(list_K)
+    jitted = jax.jit(mb_counts)
+    Ks_j = jnp.asarray(list_K, jnp.int32)
+    cmax = np.zeros((nK,), np.int64)
+    crand = np.zeros((nK, R), np.int64)
+    for mb_i, i in enumerate(range(0, n, mb)):
+        m = min(mb, n - i)
+        sls = []
+        for a in arrays:
+            s = a[i: i + m]
+            if m < mb:
+                s = jnp.pad(s, [(0, mb - m)] + [(0, 0)] * (s.ndim - 1))
+            sls.append(s)
+        lmb = labels[i: i + m]
+        vmb = valid[i: i + m]
+        if m < mb:
+            lmb = jnp.pad(lmb, (0, mb - m))
+            vmb = jnp.pad(vmb, (0, mb - m))  # padded rows: valid=False
+        a_, b_ = jitted(*sls, lmb, vmb, jax.random.fold_in(key, mb_i), Ks_j)
+        cmax += np.asarray(a_, np.int64)
+        crand += np.asarray(b_, np.int64)
+    nvalid = max(int(jnp.sum(valid)), 1)
+    accs_rand = crand / nvalid  # [nK, R]
+    rand_out = {"data": {}, "list_K": [int(k) for k in list_K]}
+    max_out = {"data": {}, "list_K": [int(k) for k in list_K]}
+    for j, K in enumerate(list_K):
+        rand_out["data"][int(K)] = [float(np.mean(accs_rand[j])),
+                                    float(np.var(accs_rand[j]))]
+        max_out["data"][int(K)] = [float(cmax[j] / nvalid), 0]
+    return rand_out, max_out
+
+
+def _compile_workers() -> int:
+    return int(os.environ.get("PCAUDIO_EVAL_COMPILE_WORKERS", "4"))
+
+
+def _classifier_rows(waves_shape, lengths, cfg, mb: int,
+                     chunk: Optional[int] = None) -> int:
+    """Row count the microbatched classifier will actually see for ``cfg``
+    (``_microbatched`` pads to ``mb`` only when the flattened set exceeds
+    it) — lets expt1 warm the classifier programs ahead of time."""
+    t = featurized_max_frames(waves_shape[1], cfg)
+    n = waves_shape[0] * (t if chunk is None else t // chunk)
+    return min(n, mb)
+
+
+class _SweepPrefetcher:
+    """Keeps up to ``_PREFETCH_WINDOW`` sweep points' featurizations in
+    flight on a small thread pool (compiles overlap; results are ordinary
+    async device arrays, freed as soon as the consumer pops them)."""
+
+    def __init__(self, order, cfgs, waves, lengths, warmups=()):
+        self._order = list(order)
+        self._cfgs = cfgs
+        self._args = (waves, lengths)
+        workers = _compile_workers()
+        self._pool = (ThreadPoolExecutor(max_workers=workers)
+                      if workers > 1 and len(self._order) > 1 else None)
+        self._futs = {}
+        self._next = 0
+        if self._pool is not None:
+            for w in warmups:
+                self._pool.submit(self._guard, w)
+            self._fill(0)
+
+    @staticmethod
+    def _guard(thunk):
+        try:
+            thunk()
+        except Exception:  # warmups are best-effort (shape guesses)
+            pass
+
+    def _fill(self, j):
+        while self._next < min(j + _PREFETCH_WINDOW, len(self._order)):
+            p = self._order[self._next]
+            self._futs[p] = self._pool.submit(
+                _jit_featurize, *self._args, cfg=self._cfgs[p])
+            self._next += 1
+
+    def get(self, j, p):
+        if self._pool is None:
+            return _jit_featurize(*self._args, cfg=self._cfgs[p])
+        self._fill(j + 1)
+        return self._futs.pop(p).result()
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
 
 
 # ---------------------------------------------------------------------------
@@ -197,18 +364,36 @@ def framewise_expt1(
 
     out = {"data": {F: [] for F in list_Fs}, "list_Fs": list_Fs,
            "list_N": list_N}
-    jitted = _microbatched(jax.jit(frame_classifier), (0,), _MB_FRAMES)
-    for F in list_Fs:
-        for N in list_N:
-            cfg = sweep_featurize_config(
-                F, N, fsog=fsog, hf=hf, tDb=tDb,
-                fixed_nfft=Nfft if fixed_nfft else None,
-            )
-            lm, fm = _jit_featurize(waves, lengths, cfg=cfg)
+    inner = jax.jit(frame_classifier)
+    jitted = _microbatched(inner, (0,), _MB_FRAMES)
+    order = [(F, N) for F in list_Fs for N in list_N]
+    cfgs = {
+        (F, N): sweep_featurize_config(
+            F, N, fsog=fsog, hf=hf, tDb=tDb,
+            fixed_nfft=Nfft if fixed_nfft else None)
+        for (F, N) in order
+    }
+    # classifier programs are keyed only by the padded row count and bin
+    # count — warm the few distinct ones concurrently with the featurize
+    # prefetch
+    warmups = []
+    for bins, rows in sorted({
+        (cfgs[p].num_bins,
+         _classifier_rows(waves.shape, lengths, cfgs[p], _MB_FRAMES))
+        for p in order
+    }):
+        warmups.append(lambda b=bins, r=rows: inner(
+            jnp.zeros((r, b), jnp.float32), freq_coords(b, fsog)))
+    pf = _SweepPrefetcher(order, cfgs, waves, lengths, warmups=warmups)
+    try:
+        for j, (F, N) in enumerate(order):
+            lm, fm = pf.get(j, (F, N))
             frames, valid, flabels = _valid_frames(lm, fm, labels)
             farr = freq_coords(frames.shape[-1], int(F))
             logits = jitted(frames, farr)
             out["data"][F].append(_accuracy(logits, flabels, valid))
+    finally:
+        pf.close()
     return out
 
 
@@ -239,14 +424,29 @@ def temporal_expt1(
 
     out = {"data": {F: [] for F in list_Fs}, "list_Fs": list_Fs,
            "list_N": list_N}
-    jitted = _microbatched(jax.jit(chunk_classifier), (0,), _MB_CHUNKS)
-    for F in list_Fs:
-        for N in list_N:
-            cfg = sweep_featurize_config(
-                F, N, fsog=fsog, hf=hf, tDb=tDb,
-                fixed_nfft=Nfft if fixed_nfft else None,
-            )
-            lm, fm = _jit_featurize(waves, lengths, cfg=cfg)
+    inner = jax.jit(chunk_classifier)
+    jitted = _microbatched(inner, (0,), _MB_CHUNKS)
+    order = [(F, N) for F in list_Fs for N in list_N]
+    cfgs = {
+        (F, N): sweep_featurize_config(
+            F, N, fsog=fsog, hf=hf, tDb=tDb,
+            fixed_nfft=Nfft if fixed_nfft else None)
+        for (F, N) in order
+    }
+    warmups = []
+    for bins, rows in sorted({
+        (cfgs[p].num_bins - 1,  # temporal pipeline drops the Nyquist row
+         _classifier_rows(waves.shape, lengths, cfgs[p], _MB_CHUNKS,
+                          chunk=Ntemp))
+        for p in order
+    }):
+        warmups.append(lambda b=bins, r=rows: inner(
+            jnp.zeros((r, Ntemp, b), jnp.float32), freq_coords(b, fsog),
+            jnp.linspace(0.0, 1.0, Ntemp)))
+    pf = _SweepPrefetcher(order, cfgs, waves, lengths, warmups=warmups)
+    try:
+        for j, (F, N) in enumerate(order):
+            lm, fm = pf.get(j, (F, N))
             chunks, cmask = batched_temporal_chunks(lm, fm, Ntemp)
             B, C, Nt, bins = chunks.shape
             flat = chunks.reshape(B * C, Nt, bins)
@@ -258,6 +458,8 @@ def temporal_expt1(
             tarr = jnp.linspace(0.0, (hf * N / int(F)) * Nt, Nt)
             logits = jitted(flat, farr, tarr)
             out["data"][F].append(_accuracy(logits, clabels, valid))
+    finally:
+        pf.close()
     return out
 
 
@@ -284,56 +486,37 @@ def framewise_expt2(
     """FST/FB experiment 2 (``Code/pceval.py:107-192`` /
     ``Code/baseline_eval.py:105-183``).  Returns ``(randK_dict, maxK_dict)``.
 
-    ``cloud_classifier(points [Nb, K, 2]) -> logits`` is used for mode
-    "cloud"; ``frame_classifier`` for mode "replace".
+    ``cloud_classifier(points [Nb, n, 2], mask [Nb, n]) -> logits`` is used
+    for mode "cloud"; ``frame_classifier`` for mode "replace".  The whole
+    K sweep × (top-K + nruns random draws) runs as ONE compiled program per
+    microbatch (rank masks over the full cloud — see the engine note above);
+    the top-K subsets are identical to ``jax.lax.top_k``'s and the replace
+    inputs bit-identical to the zeroed grids.
     """
     list_K = default_list_K(Nfft // 2) if list_K is None else [int(k) for k in list_K]
     cfg = FeaturizeConfig(fs=fsog, n_fft=Nfft, top_db=tDb, trim=True)
     lm, fm = _jit_featurize(waves, lengths, cfg=cfg)
     frames, valid, flabels = _valid_frames(lm, fm, labels)
     farr = freq_coords(frames.shape[-1], fsog)
-
-    rand_out = {"data": {}, "list_K": list_K}
-    max_out = {"data": {}, "list_K": list_K}
+    R = int(nruns)
     key = jax.random.key(seed)
 
     if mode == "cloud":
-        clouds = frame_cloud(frames, farr)
-        # selection + classification fused into ONE compiled program per K
-        # (static arg) — no materialized intermediate clouds, no per-call
-        # retrace across the nruns loop.
-        jrand = _microbatched(
-            jax.jit(lambda k2, c, K: cloud_classifier(rand_k_points(k2, c, K)),
-                    static_argnums=2), (1,), _MB_FRAMES, key_argnums=(0,))
-        jmax = _microbatched(
-            jax.jit(lambda c, K: cloud_classifier(top_k_points(c, K)),
-                    static_argnums=1), (0,), _MB_FRAMES)
-        for K in list_K:
-            accs = []
-            for r in range(nruns):
-                key, sub = jax.random.split(key)
-                accs.append(_accuracy(jrand(sub, clouds, K), flabels, valid))
-            rand_out["data"][K] = [float(np.mean(accs)), float(np.var(accs))]
-            max_out["data"][K] = [_accuracy(jmax(clouds, K), flabels, valid), 0]
+        def mb_counts(frames_mb, labels_mb, valid_mb, kmb, Ks):
+            clouds = frame_cloud(frames_mb, farr)
+            return _prefix_mask_counts(
+                lambda c, keep: cloud_classifier(c, keep),
+                clouds, frames_mb, labels_mb, valid_mb, kmb, Ks, R)
     elif mode == "replace":
-        jrand = _microbatched(jax.jit(
-            lambda k2, fr, fa, K: frame_classifier(rand_k_replace(k2, fr, K), fa),
-            static_argnums=3), (1,), _MB_FRAMES, key_argnums=(0,))
-        jmax = _microbatched(jax.jit(
-            lambda fr, fa, K: frame_classifier(top_k_replace(fr, K), fa),
-            static_argnums=2), (0,), _MB_FRAMES)
-        for K in list_K:
-            accs = []
-            for r in range(nruns):
-                key, sub = jax.random.split(key)
-                accs.append(_accuracy(jrand(sub, frames, farr, K),
-                                      flabels, valid))
-            rand_out["data"][K] = [float(np.mean(accs)), float(np.var(accs))]
-            max_out["data"][K] = [_accuracy(jmax(frames, farr, K),
-                                            flabels, valid), 0]
+        def mb_counts(frames_mb, labels_mb, valid_mb, kmb, Ks):
+            return _prefix_mask_counts(
+                lambda fr, keep: frame_classifier(
+                    jnp.where(keep, fr, 0.0), farr),
+                frames_mb, frames_mb, labels_mb, valid_mb, kmb, Ks, R)
     else:
         raise ValueError(f"mode must be 'cloud' or 'replace', got {mode!r}")
-    return rand_out, max_out
+    return _run_masked_sweep(mb_counts, [frames], flabels, valid, key,
+                             list_K, _MB_FRAMES, R)
 
 
 def _temporal_test_chunks(waves, lengths, labels, *, fsog, Nfft, Ntemp, hf, tDb):
@@ -367,50 +550,35 @@ def temporal_expt2(
     seed: int = 0,
 ):
     """3ST/CNN_temp experiment 2 (``Code/pc_temp3d_eval.py:109-200`` /
-    ``Code/baseline_temp_eval.py:104-197``)."""
+    ``Code/baseline_temp_eval.py:104-197``).  Same single-program rank-mask
+    engine as :func:`framewise_expt2`; temporal clouds/grids flatten
+    frequency-fastest, matching the reference row order."""
     n_total = Nfft * Ntemp // 2
     list_K = default_list_K(n_total) if list_K is None else [int(k) for k in list_K]
     flat, valid, clabels, farr, tarr = _temporal_test_chunks(
         waves, lengths, labels, fsog=fsog, Nfft=Nfft, Ntemp=Ntemp, hf=hf, tDb=tDb
     )
-    rand_out = {"data": {}, "list_K": list_K}
-    max_out = {"data": {}, "list_K": list_K}
+    R = int(nruns)
     key = jax.random.key(seed)
 
     if mode == "cloud":
-        clouds = grid_cloud(flat, farr, tarr)
-        jrand = _microbatched(
-            jax.jit(lambda k2, c, K: cloud_classifier(rand_k_points(k2, c, K)),
-                    static_argnums=2), (1,), _MB_CHUNKS, key_argnums=(0,))
-        jmax = _microbatched(
-            jax.jit(lambda c, K: cloud_classifier(top_k_points(c, K)),
-                    static_argnums=1), (0,), _MB_CHUNKS)
-        for K in list_K:
-            accs = []
-            for r in range(nruns):
-                key, sub = jax.random.split(key)
-                accs.append(_accuracy(jrand(sub, clouds, K), clabels, valid))
-            rand_out["data"][K] = [float(np.mean(accs)), float(np.var(accs))]
-            max_out["data"][K] = [
-                _accuracy(jmax(clouds, K), clabels, valid), 0]
+        def mb_counts(flat_mb, labels_mb, valid_mb, kmb, Ks):
+            clouds = grid_cloud(flat_mb, farr, tarr)
+            vals = flat_mb.reshape(flat_mb.shape[0], -1)
+            return _prefix_mask_counts(
+                lambda c, keep: cloud_classifier(c, keep),
+                clouds, vals, labels_mb, valid_mb, kmb, Ks, R)
     elif mode == "replace":
-        jrand = _microbatched(jax.jit(
-            lambda k2, fl, K: grid_classifier(
-                grid_top_k_replace(fl, K, flag="rand", key=k2)),
-            static_argnums=2), (1,), _MB_CHUNKS, key_argnums=(0,))
-        jmax = _microbatched(jax.jit(
-            lambda fl, K: grid_classifier(grid_top_k_replace(fl, K, flag="max")),
-            static_argnums=1), (0,), _MB_CHUNKS)
-        for K in list_K:
-            accs = []
-            for r in range(nruns):
-                key, sub = jax.random.split(key)
-                accs.append(_accuracy(jrand(sub, flat, K), clabels, valid))
-            rand_out["data"][K] = [float(np.mean(accs)), float(np.var(accs))]
-            max_out["data"][K] = [_accuracy(jmax(flat, K), clabels, valid), 0]
+        def mb_counts(flat_mb, labels_mb, valid_mb, kmb, Ks):
+            vals = flat_mb.reshape(flat_mb.shape[0], -1)
+            return _prefix_mask_counts(
+                lambda fl, keep: grid_classifier(
+                    jnp.where(keep.reshape(fl.shape), fl, 0.0)),
+                flat_mb, vals, labels_mb, valid_mb, kmb, Ks, R)
     else:
         raise ValueError(f"mode must be 'cloud' or 'replace', got {mode!r}")
-    return rand_out, max_out
+    return _run_masked_sweep(mb_counts, [flat], clabels, valid, key,
+                             list_K, _MB_CHUNKS, R)
 
 
 def rebut_importance_expt(
@@ -431,37 +599,68 @@ def rebut_importance_expt(
 ):
     """Importance-sampling rebuttal experiment (``Code/rebut_expts.py:55-148``)
     on 3ST.  Returns ``(randK_dict, maxK_dict)`` with the nested
-    ``{"data": {winF: {K: [mean, var]}}}`` schema."""
+    ``{"data": {winF: {K: [mean, var]}}}`` schema.
+
+    Same one-program-per-winF K-sweep engine as the expt2s.  choice=1
+    (top-K of the heat) is a rank mask over the heat — which preserves the
+    reference's heat-index/cloud-row index-space mismatch, since the mask
+    applies to cloud rows as-is.  choice=0 (multinomial WITH replacement,
+    ``Code/dataset.py:285-290``) cannot be a subset mask: ``n_total`` i.i.d.
+    categorical draws are gathered into draw order (duplicates and all) and
+    each K evaluates the first-K prefix — the prefix of i.i.d. draws is
+    distributed exactly as K draws."""
     n_total = Nfft * Ntemp // 2
     list_K = default_list_K(n_total) if list_K is None else [int(k) for k in list_K]
     flat, valid, clabels, farr, tarr = _temporal_test_chunks(
         waves, lengths, labels, fsog=fsog, Nfft=Nfft, Ntemp=Ntemp, hf=hf, tDb=tDb
     )
-    clouds = grid_cloud(flat, farr, tarr)
-    jheat = jax.jit(importance_heatmap, static_argnames=("win_f",))
-    jrand = _microbatched(jax.jit(
-        lambda c, h, K, k2: cloud_classifier(
-            importance_sample_cloud(c, h, K, choice=0, key=k2)),
-        static_argnums=2), (0, 1), _MB_CHUNKS, key_argnums=(3,))
-    jmax = _microbatched(jax.jit(
-        lambda c, h, K: cloud_classifier(
-            importance_sample_cloud(c, h, K, choice=1)),
-        static_argnums=2), (0, 1), _MB_CHUNKS)
-    rand_out = {"data": {int(w): {} for w in list_winF}, "list_K": list_K}
-    max_out = {"data": {int(w): {} for w in list_winF}, "list_K": list_K}
+    R = int(nruns)
+    rand_out = {"data": {}, "list_K": list_K}
+    max_out = {"data": {}, "list_K": list_K}
     key = jax.random.key(seed)
     for winF in list_winF:
-        heat = jheat(flat, win_f=int(winF))
-        for K in list_K:
-            accs = []
-            for r in range(nruns):
-                key, sub = jax.random.split(key)
-                accs.append(_accuracy(jrand(clouds, heat, K, sub),
-                                      clabels, valid))
-            rand_out["data"][int(winF)][K] = [float(np.mean(accs)),
-                                              float(np.var(accs))]
-            max_out["data"][int(winF)][K] = [
-                _accuracy(jmax(clouds, heat, K), clabels, valid), 0]
+        def mb_counts(flat_mb, labels_mb, valid_mb, kmb, Ks, _w=int(winF)):
+            heat = importance_heatmap(flat_mb, win_f=_w)
+            heat_flat = jnp.swapaxes(heat, -1, -2).reshape(
+                heat.shape[:-2] + (-1,))  # freq-major (reference flat order)
+            clouds = grid_cloud(flat_mb, farr, tarr)
+            rmax = _ranks_desc(heat_flat)
+            n = heat_flat.shape[-1]
+
+            def draw(k):
+                idx = jax.random.categorical(
+                    k, jnp.log(heat_flat), axis=-1,
+                    shape=(n,) + heat_flat.shape[:-1])
+                return jnp.moveaxis(idx, 0, -1)  # [MB, n] draws, in order
+
+            idxs = jax.vmap(draw)(jax.random.split(kmb, R))  # [R, MB, n]
+            gathered = jax.vmap(
+                lambda ix: jnp.take_along_axis(clouds, ix[..., None], axis=-2)
+            )(idxs)
+            pos = jnp.arange(n)
+
+            def ok(lg):
+                hit = (jnp.argmax(lg, -1) == labels_mb) & valid_mb
+                return jnp.sum(hit.astype(jnp.int32))
+
+            def body(_, K):
+                cm = ok(cloud_classifier(clouds, rmax < K))
+
+                def rb(_, g):
+                    keep = jnp.broadcast_to((pos < K)[None], g.shape[:-1])
+                    return None, ok(cloud_classifier(g, keep))
+
+                _, cr = jax.lax.scan(rb, None, gathered)
+                return None, (cm, cr)
+
+            _, (cmax, crand) = jax.lax.scan(body, None, Ks)
+            return cmax, crand
+
+        rnd_w, max_w = _run_masked_sweep(
+            mb_counts, [flat], clabels, valid, jax.random.fold_in(key, int(winF)),
+            list_K, _MB_CHUNKS, R)
+        rand_out["data"][int(winF)] = rnd_w["data"]
+        max_out["data"][int(winF)] = max_w["data"]
     return rand_out, max_out
 
 
@@ -500,7 +699,9 @@ def make_cnn_chunk_classifier(model, params):
 
 
 def make_cloud_classifier(model, params):
-    """points [Nb, K, d] → logits (subsampling experiments)."""
-    def fn(points):
-        return model.apply(params, points)
+    """points [Nb, K, d] (+ optional validity mask) → logits (subsampling
+    experiments; the rank-mask engine passes ``mask`` so padded/unselected
+    points never enter the attention)."""
+    def fn(points, mask=None):
+        return model.apply(params, points, mask=mask)
     return fn

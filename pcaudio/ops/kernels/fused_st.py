@@ -262,7 +262,7 @@ def _blockdiag2(w: Array) -> Array:
 
 def _make_kernel_v6(num_heads: int, dv: int, num_inds: int, din: int,
                     ncls: int, block_b: int, K: int,
-                    has_mask: bool = True):
+                    has_mask: bool = True, mab1_form: str = "bd_q"):
     """v6: pair-packed v4.  Two samples ride side-by-side on the lane axis
     (feature dim dv=64 → 2·dv=128), with block-diagonal weights keeping them
     independent.  Measured motivation (scripts/probe_lane_width.py, v5e):
@@ -370,6 +370,52 @@ def _make_kernel_v6(num_heads: int, dv: int, num_inds: int, din: int,
             preferred_element_type=jnp.float32)            # [2·h·K, dv2]
         return q_p + head_sum(av, K)
 
+    # --- v7 MAB1: BD moves from the QUERIES to K/V --------------------
+    # Keys/values live on m=64 rows (half of MAB1's query rows), so block-
+    # diagonalizing THEM instead of q:
+    #   lg  = q_p [K, dv2] · bd(k)ᵀ                      → [K, 2h·m]
+    #   av  = exp(lg) · bd(v)                            → [K, dv2]
+    # The av contraction runs over (sample, head, m) = 2h·m lanes with the
+    # head-concat structure carried by bd(v)'s column blocks — the output
+    # lands DIRECTLY in [K, dv2] (v6's [2h·K, dv2] av + 262k-element
+    # head-mask/sum per pair disappear; av row count drops 2h·K → K at the
+    # same contraction tiling).  The softmax denominator is applied AFTER
+    # the contraction on [K, dv2] (8x fewer divides than normalizing
+    # [K, 2h·m]): av is linear in the unnormalized weights, and each output
+    # column d belongs to exactly one (sample, head) segment, whose
+    # denominator rides a constant [2h, dv2] one-hot expand.
+    def _mab1_consts():
+        s_io = jax.lax.broadcasted_iota(jnp.int32, (2 * h * m, 2 * h), 0)
+        g_io = jax.lax.broadcasted_iota(jnp.int32, (2 * h * m, 2 * h), 1)
+        ones_blk = (s_io // m == g_io).astype(jnp.bfloat16)
+        g2 = jax.lax.broadcasted_iota(jnp.int32, (2 * h, dv2), 0)
+        d2 = jax.lax.broadcasted_iota(jnp.int32, (2 * h, dv2), 1)
+        expand = (d2 // dh == g2).astype(jnp.bfloat16)
+        return ones_blk, expand
+
+    def mab1_attend_v7(q_p, k_p, v_p):
+        if _profile == "noattend":
+            return q_p + jnp.sum(k_p.astype(jnp.float32)) * 0.0
+        kbd = bd_rows(k_p.astype(jnp.float32))             # [2h·m, dv2] bf16
+        vbd = bd_rows(v_p.astype(jnp.float32))             # [2h·m, dv2] bf16
+        lg = jax.lax.dot_general(
+            q_p.astype(jnp.bfloat16), kbd,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale    # [K, 2h·m]
+        if _profile == "nosoftmax":
+            p = lg * (1.0 / 128.0)
+        else:
+            p = jnp.exp(jnp.clip(lg, -50.0, 50.0))
+        pb = p.astype(jnp.bfloat16)
+        ones_blk, expand = _mab1_consts()
+        den_seg = jnp.dot(pb, ones_blk,
+                          preferred_element_type=jnp.float32)  # [K, 2h]
+        av = jnp.dot(pb, vbd,
+                     preferred_element_type=jnp.float32)       # [K, dv2]
+        den = jnp.dot(den_seg.astype(jnp.bfloat16), expand,
+                      preferred_element_type=jnp.float32)      # [K, dv2]
+        return q_p + av / den
+
     def isab_block(x_blk, mb, iq_bd2, iq2, kvq0w, kvq0b, o0w, o0b,
                    kv1w, kv1b, o1w, o1b):
         """x_blk [P·K, 2·din or dv2] bf16 → [P·K, dv2] f32.
@@ -395,11 +441,12 @@ def _make_kernel_v6(num_heads: int, dv: int, num_inds: int, din: int,
               + kv1b)                                      # [P·m, 2·dv2]
         k1 = f1[:, :dv2].astype(jnp.bfloat16)
         v1 = f1[:, dv2:].astype(jnp.bfloat16)
+        mab1 = mab1_attend_v7 if mab1_form == "bd_kv" else mab1_attend
         o1 = []
         for s in range(P):
             slk = slice(s * K, (s + 1) * K)
             slm = slice(s * m, (s + 1) * m)
-            o1.append(mab1_attend(qb[slk], k1[slm], v1[slm]))
+            o1.append(mab1(qb[slk], k1[slm], v1[slm]))
         return rff_block(jnp.concatenate(o1, axis=0), o1w, o1b)
 
     def kernel(points_ref, maskbias_ref,
@@ -564,7 +611,7 @@ def fused_st_forward(
     else:
         maskbias = jnp.where(mask, 0.0, _MASK_VALUE).astype(jnp.float32)
 
-    if variant == "v6":
+    if variant in ("v6", "v7"):
         # pair packing: the output block's sublane dim is the PAIR count, so
         # it must be a multiple of 8 (Mosaic tiling) → block_b multiple of 16.
         # A (pairs=4, 20) out block compiles but runs ~5x slower.
@@ -585,7 +632,7 @@ def fused_st_forward(
         vmem_limit_bytes=96 * 1024 * 1024,
     )
 
-    if variant == "v6":
+    if variant in ("v6", "v7"):
         Pn = Bp // 2
         Pb = block_b // 2
         # pair-pack: samples (p, p + Pn) side-by-side on the lane axis —
@@ -594,7 +641,9 @@ def fused_st_forward(
         mb_p = jnp.stack([maskbias[:Pn], maskbias[Pn:]], axis=1)
         w6 = _pack_weights_v6(w, num_heads, dv, m, ncls)
         kernel = _make_kernel_v6(num_heads, dv, m, din, ncls, block_b, K,
-                                 has_mask=mask is not None)
+                                 has_mask=mask is not None,
+                                 mab1_form="bd_kv" if variant == "v7"
+                                 else "bd_q")
         out = pl.pallas_call(
             kernel,
             interpret=interpret,

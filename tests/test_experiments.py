@@ -137,6 +137,65 @@ def test_expt2_full_K_equals_no_subsampling():
     assert abs(mx["data"][NFFT // 2 + 1][0] - base["data"][FS][0]) < 1e-9
 
 
+def test_rank_mask_matches_topk_selection():
+    """The engine's rank mask must select exactly jax.lax.top_k's subset
+    (ties included) and, for replace mode, produce bit-identical inputs to
+    the zeroed grid."""
+    from pcaudio.eval.experiments import _ranks_desc
+    from pcaudio.ops.subsample import top_k_replace
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((7, 33)).astype(np.float32))
+    # inject ties to exercise the tie-break rule
+    x = x.at[:, 10].set(x[:, 3])
+    for K in (1, 5, 17, 33):
+        _, idx = jax.lax.top_k(x, K)
+        keep_ref = np.zeros(x.shape, bool)
+        np.put_along_axis(keep_ref, np.asarray(idx), True, axis=-1)
+        keep = np.asarray(_ranks_desc(x) < K)
+        np.testing.assert_array_equal(keep, keep_ref)
+        np.testing.assert_array_equal(
+            np.asarray(jnp.where(keep, x, 0.0)),
+            np.asarray(top_k_replace(x, K)))
+
+
+def test_masked_topk_counts_match_subset_eval():
+    """Masked rank-top-K classification must agree with explicitly gathering
+    the top-K subset and classifying it dense (argmax agreement)."""
+    from pcaudio.eval.experiments import _prefix_mask_counts
+    from pcaudio.ops.subsample import top_k_points
+
+    model, params = _st_model(2)
+    rng = np.random.default_rng(2)
+    B, n = 12, 40
+    clouds = jnp.asarray(rng.standard_normal((B, n, 2)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 2, B).astype(np.int32))
+    valid = jnp.ones((B,), bool)
+    Ks = [3, 11, n]
+    cmax, _ = jax.jit(_prefix_mask_counts, static_argnums=(0, 7))(
+        lambda c, keep: model.apply(params, c, mask=keep),
+        clouds, clouds[..., -1], labels, valid,
+        jax.random.key(0), jnp.asarray(Ks, jnp.int32), 1)
+    for j, K in enumerate(Ks):
+        sub = top_k_points(clouds, K)
+        lg = model.apply(params, sub)
+        want = int(jnp.sum((jnp.argmax(lg, -1) == labels)))
+        assert int(cmax[j]) == want, (K, int(cmax[j]), want)
+
+
+def test_expt1_prefetch_equals_serial(monkeypatch):
+    waves, lengths, labels = _audio()
+    model, params = _st_model(2)
+    kw = dict(fsog=FS, Nfft=NFFT, list_Fs=[FS, 0.5 * FS],
+              list_N=[NFFT, NFFT // 2])
+    clf = make_fst_frame_classifier(model, params)
+    monkeypatch.setenv("PCAUDIO_EVAL_COMPILE_WORKERS", "1")
+    serial = framewise_expt1(clf, waves, lengths, labels, **kw)
+    monkeypatch.setenv("PCAUDIO_EVAL_COMPILE_WORKERS", "3")
+    par = framewise_expt1(clf, waves, lengths, labels, **kw)
+    assert serial == par
+
+
 def test_temporal_expt2_and_rebut():
     waves, lengths, labels = _audio()
     model, params = _st_model(3)

@@ -73,6 +73,28 @@ def test_fused_st_odd_batch_sizes(B):
                                atol=5e-2, rtol=5e-2)
 
 
+@pytest.mark.parametrize("maskpat", ["full", "ragged"])
+def test_fused_st_v7_matches_model(maskpat):
+    """v7 (block-diagonal K/V MAB1 attend) == XLA model, masked + unmasked,
+    at the shipped FST geometry."""
+    rng = np.random.default_rng(7)
+    B, K = 6, 48
+    model = ST(dim_input=3, dim_output=10, num_inds=64, dim_hidden=64,
+               num_heads=8)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 8, 3)))
+    pts = jnp.asarray(rng.standard_normal((B, K, 3)).astype(np.float32))
+    if maskpat == "full":
+        mask = None
+    else:
+        counts = np.array([K, K - 7, 20, 9, 3, 1])
+        mask = jnp.asarray(np.arange(K)[None, :] < counts[:, None])
+    ref = model.apply(params, pts, mask=mask)
+    got = fused_st_forward(params, pts, mask, num_heads=8, block_b=2,
+                           variant="v7")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-2, rtol=5e-2)
+
+
 def test_fused_st_mask_free_variant_matches_masked_on_full_masks():
     """The mask-free compile (serving) equals the masked kernel when every
     point is valid."""
