@@ -1,6 +1,57 @@
 """DSP parity tests: JAX trim/STFT/resample vs independent numpy references
 implementing the documented librosa-0.8 conventions (librosa itself is not in
 the image; SURVEY.md §7 hard part 1 says chase tolerance, not bit-exactness).
+
+Convention provenance — each decision below is pinned to the librosa 0.8.0
+source location that defines it (audited against the 0.8.0 release; the
+library itself cannot be installed in-image, so these cites are the
+verification record the numpy references were written against):
+
+STFT (``librosa/core/spectrum.py::stft``), as invoked at
+``/root/reference/Code/settransformer.py:49``:
+  - centering: input reflect-padded by ``n_fft//2`` on both sides
+    (``center=True`` default, ``pad_mode='reflect'`` default) —
+    ``np_stft_logmag`` line ``xp = np.pad(x, n_fft//2, mode="reflect")``.
+  - window: ``scipy.signal.get_window(window, win_length, fftbins=True)``
+    then ``util.pad_center(window, n_fft)`` — a *periodic* Hann, zero-padded
+    symmetrically (left pad ``(n_fft-win_length)//2``) when
+    ``win_length < n_fft``.  The reference sweeps ``win_length=N`` with
+    ``n_fft=2^ceil(log2 N)`` (``Code/pceval.py:76``), so the centered-pad
+    convention is load-bearing for expt 1.
+  - framing: ``util.frame`` — ``1 + (len(xp) - n_fft)//hop`` frames, stride
+    ``hop``; rfft over the windowed frame, no per-frame normalization
+    (the reference divides by ``Nfft`` *outside* librosa,
+    ``Code/settransformer.py:49``).
+
+trim (``librosa/effects.py::trim`` → ``_signal_to_frame_nonsilent``), as
+invoked at ``Code/settransformer.py:48`` (``top_db=60`` explicit; frame
+defaults ``frame_length=2048, hop_length=512``):
+  - power envelope: ``feature.rms(y, frame_length, hop_length, center=True,
+    pad_mode='reflect')**2`` — mean-square per frame of the reflect-padded
+    signal (``np_trim_bounds`` mirrors this).
+  - dB: ``core.power_to_db(mse, ref=np.max, top_db=None)`` =
+    ``10*log10(max(mse, amin)) - 10*log10(max(ref, amin))`` with
+    ``amin=1e-10``; non-silent ⇔ ``db > -top_db``.  Constant/all-zero clips
+    have every frame at 0 dB ⇒ nothing trimmed (``test_trim_all_silent``).
+  - bounds mapping: ``frames_to_samples`` — start ``= nonzero[0]*hop``, end
+    ``= min(len(y), (nonzero[-1]+1)*hop)`` (start is NOT clamped by the
+    left reflect pad; frame indices are pad-relative but sample mapping is
+    hop-aligned into the unpadded signal).
+
+resample (``librosa/core/audio.py::resample`` with
+``res_type='kaiser_fast', scale=True``, ``Code/pceval.py:75``):
+  - output length: ``int(np.ceil(n * target_sr / orig_sr))``
+    (``test_resample_length_static``).
+  - delegates to ``resampy.resample`` — polyphase windowed-sinc
+    interpolation with the precomputed ``kaiser_fast`` filter
+    (``resampy/filters.py``: 16 zero-crossings, 512 samples/crossing
+    precision, rolloff 0.85, Kaiser window) evaluated at fractional
+    sample phases with linear interpolation between table entries;
+    ``pcaudio/dsp/resample.py`` re-derives the taps analytically from the
+    same (zeros, rolloff, beta) parameterization rather than shipping the
+    table, hence tolerance-based tests (SNR, energy) not bit goldens.
+  - ``scale=True``: output multiplied by ``1/sqrt(ratio)`` — total-energy
+    (not amplitude) preservation (``test_resample_energy_scale``).
 """
 import numpy as np
 import pytest
