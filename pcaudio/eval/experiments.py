@@ -243,7 +243,13 @@ def _run_masked_sweep(mb_counts, arrays: Sequence[Array], labels: Array,
     n = labels.shape[0]
     nK = len(list_K)
     jitted = jax.jit(mb_counts)
-    Ks_j = jnp.asarray(list_K, jnp.int32)
+    # Bound single-dispatch duration: one program over ALL of list_K at the
+    # temporal scale is ~100 TFLOP and has crashed the tunneled TPU worker;
+    # slice the K axis into fixed-shape chunks (same compiled program reused,
+    # padded with repeats whose counts are discarded).  Same kmb per chunk ⇒
+    # identical noise/ranks ⇒ results are bit-identical to the unchunked run.
+    kc = max(1, min(int(os.environ.get("PCAUDIO_EVAL_K_CHUNK", "16")), nK))
+    padded_K = list(list_K) + [list_K[-1]] * (-len(list_K) % kc)
     cmax = np.zeros((nK,), np.int64)
     crand = np.zeros((nK, R), np.int64)
     for mb_i, i in enumerate(range(0, n, mb)):
@@ -259,9 +265,14 @@ def _run_masked_sweep(mb_counts, arrays: Sequence[Array], labels: Array,
         if m < mb:
             lmb = jnp.pad(lmb, (0, mb - m))
             vmb = jnp.pad(vmb, (0, mb - m))  # padded rows: valid=False
-        a_, b_ = jitted(*sls, lmb, vmb, jax.random.fold_in(key, mb_i), Ks_j)
-        cmax += np.asarray(a_, np.int64)
-        crand += np.asarray(b_, np.int64)
+        kmb = jax.random.fold_in(key, mb_i)
+        for j0 in range(0, len(padded_K), kc):
+            Ks_j = jnp.asarray(padded_K[j0: j0 + kc], jnp.int32)
+            a_, b_ = jitted(*sls, lmb, vmb, kmb, Ks_j)
+            take = min(kc, nK - j0)
+            if take > 0:
+                cmax[j0: j0 + take] += np.asarray(a_, np.int64)[:take]
+                crand[j0: j0 + take] += np.asarray(b_, np.int64)[:take]
     nvalid = max(int(jnp.sum(valid)), 1)
     accs_rand = crand / nvalid  # [nK, R]
     rand_out = {"data": {}, "list_K": [int(k) for k in list_K]}

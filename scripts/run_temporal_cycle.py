@@ -56,13 +56,24 @@ def main():
     results = os.path.join(args.out, "paper_plots")
     figures = os.path.join(args.out, "figures")
 
+    # one CLI call per experiment, skipping finished outputs — a worker
+    # crash mid-sweep costs one stage, and reruns resume where they stopped
+    outputs = {"expt1": ["{t}_expt1.json"],
+               "expt2": ["{t}_randK_expt2.json", "{t}_maxK_expt2.json"],
+               "rebut": ["3ST_rebut_expt_randK.json", "3ST_rebut_expt_maxK.json"]}
     for tag, expts in (("3ST", ["expt1", "expt2", "rebut"]),
                        ("CNNTemp", ["expt1", "expt2"])):
         cfg = sorted(glob.glob(f"{REF}/{tag}(*_config.json"))[0]
         pth = cfg.replace("_config.json", "_net.pth")
-        run(f"eval_{tag}", ["eval", "--config", cfg, "--pth", pth,
-                            "--experiments", *expts,
-                            "--out-dir", results] + esc, times)
+        for expt in expts:
+            if all(os.path.exists(os.path.join(results, o.format(t=tag)))
+                   for o in outputs[expt]):
+                print(f"[cycle] eval_{tag}_{expt}: already done, skipping",
+                      flush=True)
+                continue
+            run(f"eval_{tag}_{expt}",
+                ["eval", "--config", cfg, "--pth", pth,
+                 "--experiments", expt, "--out-dir", results] + esc, times)
 
     # the committed framewise JSONs complete the set for all five figures
     for p in sorted(glob.glob("/root/repo/artifacts/cli_cycle/paper_plots/*.json")):

@@ -220,3 +220,21 @@ def test_temporal_expt2_and_rebut():
     d = json.loads(json.dumps(rm))
     assert set(d["data"].keys()) == {"8"}
     assert set(d["data"]["8"].keys()) == {"16"}
+
+
+def test_k_chunking_bit_identical(monkeypatch):
+    """Host-side K-axis chunking (bounds single-dispatch duration on the
+    tunneled chip) must be bit-identical to one program over all Ks: the
+    per-microbatch key — hence the noise and its ranks — is chunk-invariant."""
+    waves, lengths, labels = _audio()
+    model, params = _st_model(2)
+    kw = dict(mode="cloud", fsog=FS, Nfft=NFFT,
+              list_K=[4, 8, 16, 32, 64, NFFT // 2], nruns=3)
+    monkeypatch.setenv("PCAUDIO_EVAL_K_CHUNK", "1000")
+    rnd_a, mx_a = framewise_expt2(
+        None, make_cloud_classifier(model, params), waves, lengths, labels, **kw)
+    monkeypatch.setenv("PCAUDIO_EVAL_K_CHUNK", "4")  # 6 Ks -> 4+2(padded)
+    rnd_b, mx_b = framewise_expt2(
+        None, make_cloud_classifier(model, params), waves, lengths, labels, **kw)
+    assert rnd_a == rnd_b
+    assert mx_a == mx_b
