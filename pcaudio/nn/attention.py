@@ -117,9 +117,16 @@ class MAB(nn.Module):
         scale = 1.0 / math.sqrt(dv)
 
         if self.fused_attn:
+            import os
+
             from pcaudio.ops.kernels.mha import fused_mha
 
-            out = fused_mha(q, k, v, key_mask, num_heads=h, scale=scale)
+            # attend geometry: "auto" routes small-key attends (ISAB MAB1)
+            # through the bd_kv (fused-ST v7) layout; default stays bd_q
+            # until bd_kv is chip-measured faster on the training step
+            form = os.environ.get("PCAUDIO_TRAIN_ATTEND_FORM", "bd_q")
+            out = fused_mha(q, k, v, key_mask, num_heads=h, scale=scale,
+                            form=form)
             out = out.astype(dtype)
         else:
             # Feature-split heads: head i sees features [i*dh:(i+1)*dh],

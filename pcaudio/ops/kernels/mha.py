@@ -74,6 +74,114 @@ def _probs(q, k, bias, h, scale):
                          1.0 / jnp.where(denom == 0.0, 1.0, denom))
 
 
+def _seg_softmax(lg, h: int, M: int):
+    """Exact per-segment softmax over ``[rows, h·M]`` logits where segment
+    g occupies lanes ``[g·M, (g+1)·M)`` (the bd_kv layout).  Max-subtract and
+    normalization are done per segment (static lane slices) — identical
+    semantics to the bd_q row softmax, all-masked segments → zeros."""
+    parts = []
+    for g_i in range(h):
+        seg = lg[:, g_i * M:(g_i + 1) * M]
+        mx = jnp.max(seg, axis=-1, keepdims=True)
+        p = jnp.exp(seg - mx)
+        p = jnp.where(seg <= _MASK_VALUE * 0.5, 0.0, p)
+        den = jnp.sum(p, axis=-1, keepdims=True)
+        parts.append(p * jnp.where(den == 0.0, 0.0,
+                                   1.0 / jnp.where(den == 0.0, 1.0, den)))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _fwd_kernel_kv(q_ref, k_ref, v_ref, mask_ref, o_ref, *, num_heads, scale,
+                   block_b):
+    """bd_kv forward: block-diagonalize the (small) K/V side instead of the
+    queries — the fused-ST v7 geometry (``fused_st.py::mab1_attend_v7``)
+    carried over to the trainable kernel.  Per sample:
+
+        lg = q · BD(k)ᵀ · scale + bias_tiled     [tn, h·M]
+        a  = seg_softmax(lg)                      (exact, per head segment)
+        o  = a · BD(v)                            [tn, dv]  — directly
+                                                  head-concatenated
+
+    vs bd_q's ``[h·tn, M]`` layout: softmax rows drop 8x, the av output
+    lands in ``[tn, dv]`` with no head-sum mask-reduce."""
+    h = num_heads
+    M = k_ref.shape[-2]
+    for s in range(block_b):
+        kbd = _bd(k_ref[s].astype(jnp.float32), h)           # [h·M, dv] bf16
+        vbd = _bd(v_ref[s].astype(jnp.float32), h)
+        bias = jnp.where(mask_ref[s] > 0, 0.0, _MASK_VALUE)  # [M]
+        bias_t = jnp.tile(bias, (h,))[None, :]               # [1, h·M]
+        lg = jax.lax.dot_general(
+            q_ref[s].astype(jnp.bfloat16), kbd,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + bias_t
+        a = _seg_softmax(lg, h, M)
+        o_ref[s] = jax.lax.dot_general(
+            a.astype(jnp.bfloat16), vbd,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _bwd_kernel_kv(q_ref, k_ref, v_ref, mask_ref, g_ref,
+                   dq_ref, dk_ref, dv_ref, *, num_heads, scale, block_b):
+    """bd_kv backward (flash-style recompute, same layout as the forward):
+
+        da  = g · BD(v)ᵀ                          [tn, h·M]
+        dlg = a ⊙ (da − segsum(da ⊙ a)) · scale
+        dq  = dlg · BD(k)                         [tn, dv]
+        dk  = head_collapse(dlgᵀ · q)             [M, dv]
+        dv  = head_collapse(aᵀ · g)               [M, dv]
+
+    dk/dv accumulate across query tiles (sequential second grid axis)."""
+    h = num_heads
+    M = k_ref.shape[-2]
+    dv_feat = q_ref.shape[-1]
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        dk_ref[...] = jnp.zeros(dk_ref.shape, dk_ref.dtype)
+        dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
+
+    for s in range(block_b):
+        q = q_ref[s].astype(jnp.float32)
+        g = g_ref[s].astype(jnp.float32)
+        kbd = _bd(k_ref[s].astype(jnp.float32), h)           # [h·M, dv] bf16
+        vbd = _bd(v_ref[s].astype(jnp.float32), h)
+        bias = jnp.where(mask_ref[s] > 0, 0.0, _MASK_VALUE)
+        bias_t = jnp.tile(bias, (h,))[None, :]
+        lg = jax.lax.dot_general(
+            q.astype(jnp.bfloat16), kbd,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + bias_t
+        a = _seg_softmax(lg, h, M)                           # [tn, h·M]
+        gb = g.astype(jnp.bfloat16)
+        da = jax.lax.dot_general(
+            gb, vbd, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [tn, h·M]
+        daa = da * a
+        segsum = []
+        for g_i in range(h):
+            seg = daa[:, g_i * M:(g_i + 1) * M]
+            segsum.append(jnp.broadcast_to(
+                jnp.sum(seg, axis=-1, keepdims=True), seg.shape))
+        dlg = (a * (da - jnp.concatenate(segsum, axis=-1)) * scale
+               ).astype(jnp.bfloat16)                        # [tn, h·M]
+        dq_ref[s] = jax.lax.dot_general(
+            dlg, kbd, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        dk_full = jax.lax.dot_general(
+            dlg, q.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [h·M, dv]
+        dv_full = jax.lax.dot_general(
+            a.astype(jnp.bfloat16), gb,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [h·M, dv]
+        dk_ref[s] += _head_sum(dk_full, h, M, dv_feat)
+        dv_ref[s] += _head_sum(dv_full, h, M, dv_feat)
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, num_heads, scale,
                 block_b):
     h = num_heads
@@ -137,7 +245,7 @@ def _tiles(N: int, tile_n: int):
 
 
 def _mha_fwd_impl(q, k, v, mask, num_heads, scale, block_b, tile_n,
-                  interpret):
+                  interpret, form="bd_q"):
     B, N, dv = q.shape
     M = k.shape[1]
     nt, Np = _tiles(N, tile_n)
@@ -151,8 +259,9 @@ def _mha_fwd_impl(q, k, v, mask, num_heads, scale, block_b, tile_n,
     if pad_b:  # padded samples: fully-valid mask keeps softmax finite
         maskp = maskp.at[B:].set(1.0)
 
-    kern = functools.partial(_fwd_kernel, num_heads=num_heads, scale=scale,
-                             block_b=block_b)
+    kern = functools.partial(
+        _fwd_kernel_kv if form == "bd_kv" else _fwd_kernel,
+        num_heads=num_heads, scale=scale, block_b=block_b)
     out = pl.pallas_call(
         kern,
         interpret=interpret,
@@ -179,7 +288,7 @@ def _mha_fwd_impl(q, k, v, mask, num_heads, scale, block_b, tile_n,
 
 
 def _mha_bwd_impl(q, k, v, mask, g, num_heads, scale, block_b, tile_n,
-                  interpret):
+                  interpret, form="bd_q"):
     B, N, dv = q.shape
     M = k.shape[1]
     nt, Np = _tiles(N, tile_n)
@@ -194,8 +303,9 @@ def _mha_bwd_impl(q, k, v, mask, g, num_heads, scale, block_b, tile_n,
     if pad_b:
         maskp = maskp.at[B:].set(1.0)
 
-    kern = functools.partial(_bwd_kernel, num_heads=num_heads, scale=scale,
-                             block_b=block_b)
+    kern = functools.partial(
+        _bwd_kernel_kv if form == "bd_kv" else _bwd_kernel,
+        num_heads=num_heads, scale=scale, block_b=block_b)
     dq, dk, dv_ = pl.pallas_call(
         kern,
         interpret=interpret,
@@ -234,23 +344,24 @@ def _mha_bwd_impl(q, k, v, mask, g, num_heads, scale, block_b, tile_n,
     return dq[:B, :N], dk[:B], dv_[:B]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _fused_mha(q, k, v, mask, num_heads, scale, block_b, tile_n):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _fused_mha(q, k, v, mask, num_heads, scale, block_b, tile_n, form):
     interpret = jax.default_backend() != "tpu"
     return _mha_fwd_impl(q, k, v, mask, num_heads, scale, block_b, tile_n,
-                         interpret)
+                         interpret, form)
 
 
-def _fused_mha_fwd(q, k, v, mask, num_heads, scale, block_b, tile_n):
-    out = _fused_mha(q, k, v, mask, num_heads, scale, block_b, tile_n)
+def _fused_mha_fwd(q, k, v, mask, num_heads, scale, block_b, tile_n, form):
+    out = _fused_mha(q, k, v, mask, num_heads, scale, block_b, tile_n, form)
     return out, (q, k, v, mask)
 
 
-def _fused_mha_bwd(num_heads, scale, block_b, tile_n, res, g):
+def _fused_mha_bwd(num_heads, scale, block_b, tile_n, form, res, g):
     q, k, v, mask = res
     interpret = jax.default_backend() != "tpu"
     dq, dk, dv = _mha_bwd_impl(q, k, v, mask, g.astype(jnp.float32),
-                               num_heads, scale, block_b, tile_n, interpret)
+                               num_heads, scale, block_b, tile_n, interpret,
+                               form)
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
             jnp.zeros_like(mask))
 
@@ -267,6 +378,7 @@ def fused_mha(
     scale: float,
     block_b: int = 8,
     tile_n: int = 256,
+    form: str = "bd_q",
 ) -> Array:
     """``softmax(q·kᵀ·scale, key_mask)·v`` with feature-split heads.
     Differentiable (custom VJP with a Pallas backward kernel).
@@ -278,10 +390,18 @@ def fused_mha(
       num_heads: head count (``dv % num_heads == 0``).
       scale: logits scale (reference: ``1/sqrt(dv)``).
       block_b: samples per grid step.  tile_n: query rows per grid step.
+      form: attend geometry — ``"bd_q"`` block-diagonalizes the queries
+        (original layout), ``"bd_kv"`` block-diagonalizes keys/values (the
+        fused-ST v7 geometry: fewer/wider softmax rows, av lands directly
+        head-concatenated — wins when M ≪ N, e.g. ISAB's MAB1).  ``"auto"``
+        picks bd_kv when ``h·M ≤ N`` (the logits tensor doesn't grow and
+        the row count shrinks ≥ h×).
 
     Returns ``[B, N, dv]`` (heads re-concatenated), f32.
     """
     B, M = q.shape[0], k.shape[1]
+    if form == "auto":
+        form = "bd_kv" if num_heads * M <= q.shape[1] else "bd_q"
     if mask is None:
         maskf = jnp.ones((B, M), jnp.float32)
     else:
@@ -289,4 +409,4 @@ def fused_mha(
     tile_n = min(tile_n, q.shape[1]) if q.shape[1] % tile_n else tile_n
     return _fused_mha(q.astype(jnp.float32), k.astype(jnp.float32),
                       v.astype(jnp.float32), maskf,
-                      num_heads, scale, block_b, tile_n)
+                      num_heads, scale, block_b, tile_n, form)
