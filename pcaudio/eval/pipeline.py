@@ -153,6 +153,23 @@ def extract_chunk_clouds(
                        mask=pmask.reshape(B * C, K)), chunk_mask)
 
 
+def _select_kernel_ok(k: int, F: int) -> bool:
+    """Exact-select kernel envelope check at the call site — falls back to
+    the identical-semantics XLA two-stage top-k below, but LOUDLY, so a
+    caller who forced ``exact_kernel=True`` at an out-of-envelope shape
+    (e.g. framewise F=1025) doesn't silently measure the wrong path."""
+    from pcaudio.ops.kernels.select import exact_topk_supported
+
+    if exact_topk_supported(k, F):
+        return True
+    import warnings
+
+    warnings.warn(
+        f"exact select kernel unsupported at (K={k}, F={F}) "
+        "(needs K <= 256, F % 128 == 0); using XLA exact top-k instead")
+    return False
+
+
 def _extract_fused(waves: Array, lengths: Array,
                    cfg: TemporalPipelineConfig) -> Tuple[PointCloud, Array]:
     """Fused-kernel extraction: Pallas wave→|STFT|² + top-K on squared
@@ -186,7 +203,7 @@ def _extract_fused(waves: Array, lengths: Array,
     if approx:
         vals2, idx = jax.lax.approx_max_k(mags, k,
                                           recall_target=cfg.approx_recall)
-    elif cfg._use_exact_kernel() and F % 128 == 0:
+    elif cfg._use_exact_kernel() and _select_kernel_ok(k, F):
         # sort-free exact top-K Pallas kernel: same selected SET as
         # ``lax.top_k`` (ties resolved take-first in flat order), ascending
         # flat-index output order.  Squared magnitudes are non-negative by

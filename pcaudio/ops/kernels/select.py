@@ -409,6 +409,15 @@ def _kernel(x_ref, ov_ref, oi_ref, *, bc, L, K, mant_bits, val_channels,
     oi_ref[...] = jnp.sum(T * sel_i[None], axis=1).astype(jnp.int32)
 
 
+def exact_topk_supported(K: int, F: int) -> bool:
+    """The kernel's applicability envelope, for callers deciding between
+    this and the XLA two-stage top-k: K ≤ 256 (bf16 scatter-rank budget)
+    and F a 128-lane multiple (flat lane blocks).  Values must also be
+    non-negative (true for squared magnitudes by construction) — that part
+    can't be checked statically."""
+    return K <= 256 and F % 128 == 0
+
+
 def exact_topk_chunks(
     mags: Array,
     K: int,
