@@ -94,12 +94,15 @@ def main():
 
     featurize = os.environ.get("PCAUDIO_BENCH_FEATURIZE", "fused")
 
+    st_bb = os.environ.get("PCAUDIO_BENCH_ST_BLOCK_B")  # A/B knob
+
     def make_cfg(extr):
         return TemporalPipelineConfig(fs=fs, n_fft=1024, num_frames=10,
                                       top_k=top_k, extraction=extr,
                                       stft_precision=stft_precision,
                                       compute_dtype=compute_dtype,
-                                      featurize=featurize)
+                                      featurize=featurize,
+                                      st_block_b=int(st_bb) if st_bb else None)
 
     cfg = make_cfg(extraction)
     model = ST(dim_input=3, num_outputs=1, dim_output=10,
@@ -194,8 +197,12 @@ def main():
         if fused:
             from pcaudio.ops.kernels.fused_st import fused_st_forward
 
+            # mask=None matches the actual serving call (pipeline._chunk_logits
+            # drops invalid chunks via the chunk-mask weighting instead); the
+            # masked kernel is ~4x slower and timing it here overstated
+            # st_forward by ~45 ms in BENCH_r03
             jst = jax.jit(lambda p, x, m: fused_st_forward(
-                p, x, m, num_heads=model.num_heads))
+                p, x, None, num_heads=model.num_heads))
         else:
             jst = jax.jit(lambda p, x, m: model.apply(p, x, mask=m))
         st_ms = _time(jst, params, pts, msk, iters=iters) * 1e3

@@ -67,6 +67,11 @@ class TemporalPipelineConfig:
     # the identical set to ``lax.top_k`` (take-first-on-ties), emitted in
     # ascending flat-index order; every consumer is permutation-invariant.
     exact_kernel: Optional[bool] = None
+    # fused-ST sample block per grid step (None → the kernel default, 16).
+    # block_b=32 measured ~10% faster on the bare ST stage at the serving
+    # shape (scripts/probe_v7_serving.py); config-keyed so it participates
+    # in the trace cache.
+    st_block_b: Optional[int] = None
 
     def _use_exact_kernel(self) -> bool:
         if self.exact_kernel is not None:
@@ -276,8 +281,9 @@ def _chunk_logits(params, waves, lengths, model, cfg, use_fused_st):
         # full), so invalid chunks just produce finite garbage logits that
         # the chunk_mask weighting below drops; the mask-free kernel skips
         # all in-kernel bias work
+        kw = {} if cfg.st_block_b is None else {"block_b": cfg.st_block_b}
         logits = fused_st_forward(
-            params, cloud.points, None, num_heads=model.num_heads,
+            params, cloud.points, None, num_heads=model.num_heads, **kw,
         ).reshape(B, C, -1)
     else:
         logits = model.apply(

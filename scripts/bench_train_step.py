@@ -31,7 +31,11 @@ def main():
         rng.standard_normal((B, N, 2)).astype(np.float32)))
     labels = jax.device_put(jnp.asarray(rng.integers(0, 10, B)))
 
-    for fused in (False, True):
+    import os
+
+    for fused, form in ((False, "-"), (True, "bd_q"), (True, "auto")):
+        if fused:
+            os.environ["PCAUDIO_TRAIN_ATTEND_FORM"] = form
         model = ST(dim_input=2, num_outputs=1, dim_output=10, num_inds=64,
                    dim_hidden=64, num_heads=8, dtype=jnp.bfloat16,
                    fused_attn=fused)
@@ -56,7 +60,7 @@ def main():
             s, metrics = step(s, batch, rng_key)
         float(metrics["loss"])
         dt = (time.perf_counter() - t0) / args.iters
-        print(f"fused_attn={fused}: {dt*1e3:.2f} ms/step "
+        print(f"fused_attn={fused} form={form}: {dt*1e3:.2f} ms/step "
               f"({B/dt:.0f} clouds/s, compile {compile_s:.1f}s)", flush=True)
 
 
