@@ -77,6 +77,9 @@ def cmd_train(args):
 
 
 def cmd_eval(args):
+    import jax
+    import jax.numpy as jnp
+
     from pcaudio.core.config import (
         ARCH_3ST, ARCH_CNN, ARCH_FB, ARCH_FST, ExperimentConfig,
     )
@@ -98,6 +101,37 @@ def cmd_eval(args):
 
         tree, _, _ = load_checkpoint(args.orbax)
         params = tree["params"]
+
+    # Route sweep classification through the fused masked-attention kernels
+    # on TPU — the masked XLA forward is HBM-bound and dominates expt2 wall
+    # time (measured 35 s per 256-chunk sweep dispatch at the 3ST scale).
+    # Gated on a 100% argmax-agreement check against the XLA path on random
+    # inputs with the ACTUAL checkpoint params; any disagreement falls back.
+    # Override: PCAUDIO_FUSED_ATTN=0/1.
+    env_fused = os.environ.get("PCAUDIO_FUSED_ATTN")
+    use_fused = (env_fused == "1" if env_fused is not None
+                 else jax.default_backend() == "tpu")
+    if use_fused and cfg.architecture in (ARCH_FST, ARCH_3ST):
+        import numpy as _np
+
+        fmodel = cfg.build_model(fused_attn=True)
+        d = 2 if cfg.architecture == ARCH_FST else 3
+        n = (cfg.window_size // 2 + 1 if cfg.architecture == ARCH_FST
+             else cfg.Ntemp * (cfg.window_size // 2))
+        _r = _np.random.default_rng(0)
+        probe = jnp.asarray(_r.standard_normal((16, n, d)).astype(_np.float32))
+        pmask = jnp.asarray(_np.arange(n)[None, :] < _r.integers(
+            1, n + 1, (16,))[:, None])
+        ok = True
+        for m in (None, pmask):
+            lf = fmodel.apply(params, probe, mask=m)
+            lx = model.apply(params, probe, mask=m)
+            ok &= bool(jnp.all(jnp.argmax(lf, -1) == jnp.argmax(lx, -1)))
+        if ok:
+            model = fmodel
+            print("eval: fused masked attention (argmax parity gate passed)")
+        else:
+            print("eval: fused attention parity gate FAILED; using XLA path")
     waves, lengths, labels = load_esc_split_waves(
         args.esc_csv, args.esc_audio, cfg.numpy_seed, split="test")
 
