@@ -76,7 +76,68 @@ def cmd_train(args):
     print(f"saved final checkpoint to {args.out_dir}")
 
 
+def _fused_parity_gate(cfg, model, fmodel, params, waves, lengths):
+    """Argmax-agreement gate for the fused masked-attention eval path.
+
+    Exercised on REAL featurized data — the first microbatch of the
+    training-config featurization of the actual test waves (the same
+    frames/chunks the sweep will feed the model), masked with the expt2
+    engine's own rank-mask shape AND unmasked — instead of random clouds,
+    so near-tie logits on real spectra are part of what the gate checks.
+    Returns ``(passed, info)``; ``info`` lands in the artifact provenance
+    side-files.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    from pcaudio.core.config import ARCH_FST
+    from pcaudio.dsp.featurize import (
+        FeaturizeConfig, batched_temporal_chunks, featurize_batch,
+    )
+    from pcaudio.eval.experiments import _ranks_desc, _valid_frames
+    from pcaudio.ops.cloud import (
+        frame_cloud, freq_coords, grid_cloud, time_coords,
+    )
+
+    rows = 256
+    nb = min(len(waves), 8)  # 8 clips ≥ 256 frames or chunks at either scale
+    fcfg = FeaturizeConfig(fs=cfg.sampling_rate, n_fft=cfg.window_size,
+                           top_db=cfg.trim_dB, trim=True)
+    lm, fm = featurize_batch(jnp.asarray(waves[:nb]),
+                             jnp.asarray(lengths[:nb]), fcfg)
+    if cfg.architecture == ARCH_FST:
+        frames, valid, _ = _valid_frames(lm, fm, jnp.zeros((nb,), jnp.int32))
+        farr = freq_coords(frames.shape[-1], cfg.sampling_rate)
+        clouds = frame_cloud(frames, farr)
+    else:
+        chunks, cmask = batched_temporal_chunks(lm, fm, cfg.Ntemp)
+        B, C, Nt, bins = chunks.shape
+        valid = cmask.reshape(B * C)
+        farr = freq_coords(bins, cfg.sampling_rate)
+        tarr = time_coords(Nt, cfg.window_size, cfg.sampling_rate,
+                           cfg.hop_factor)
+        clouds = grid_cloud(chunks.reshape(B * C, Nt, bins), farr, tarr)
+    keep_rows = np.flatnonzero(np.asarray(valid))[:rows]
+    clouds = jnp.asarray(np.asarray(clouds)[keep_rows])
+    n = clouds.shape[1]
+    kmask = _ranks_desc(clouds[..., -1]) < (n // 2)
+    agree = total = 0
+    for m in (None, kmask):
+        lf = fmodel.apply(params, clouds, mask=m)
+        lx = model.apply(params, clouds, mask=m)
+        agree += int(jnp.sum(jnp.argmax(lf, -1) == jnp.argmax(lx, -1)))
+        total += int(clouds.shape[0])
+    return agree == total, {
+        "agreement": [agree, total],
+        "rows": int(clouds.shape[0]),
+        "probe": "first real featurized microbatch at the training config, "
+                 "unmasked + expt2-style rank-mask (K = n_points/2)",
+    }
+
+
 def cmd_eval(args):
+    import time as _time
+
     import jax
     import jax.numpy as jnp
 
@@ -90,7 +151,7 @@ def cmd_eval(args):
         make_fb_frame_classifier, make_fst_frame_classifier,
         rebut_importance_expt, temporal_expt1, temporal_expt2,
     )
-    from pcaudio.utils.metrics import dump_reference_json
+    from pcaudio.utils.metrics import dump_with_provenance
 
     cfg = ExperimentConfig.from_reference_json(args.config)
     model = cfg.build_model()
@@ -102,46 +163,53 @@ def cmd_eval(args):
         tree, _, _ = load_checkpoint(args.orbax)
         params = tree["params"]
 
+    waves, lengths, labels = load_esc_split_waves(
+        args.esc_csv, args.esc_audio, cfg.numpy_seed, split="test")
+
     # Route sweep classification through the fused masked-attention kernels
     # on TPU — the masked XLA forward is HBM-bound and dominates expt2 wall
     # time (measured 35 s per 256-chunk sweep dispatch at the 3ST scale).
-    # Gated on a 100% argmax-agreement check against the XLA path on random
-    # inputs with the ACTUAL checkpoint params; any disagreement falls back.
+    # Gated on a 100% argmax-agreement check against the XLA path on a REAL
+    # featurized microbatch of the test split (masked and unmasked) with
+    # the ACTUAL checkpoint params; any disagreement falls back.
     # Override: PCAUDIO_FUSED_ATTN=0/1.
     env_fused = os.environ.get("PCAUDIO_FUSED_ATTN")
     use_fused = (env_fused == "1" if env_fused is not None
                  else jax.default_backend() == "tpu")
+    prov = {"engine": "xla", "backend": jax.default_backend(),
+            "esc_csv": args.esc_csv, "checkpoint": args.pth or args.orbax}
     if use_fused and cfg.architecture in (ARCH_FST, ARCH_3ST):
-        import numpy as _np
-
         fmodel = cfg.build_model(fused_attn=True)
-        d = 2 if cfg.architecture == ARCH_FST else 3
-        n = (cfg.window_size // 2 + 1 if cfg.architecture == ARCH_FST
-             else cfg.Ntemp * (cfg.window_size // 2))
-        _r = _np.random.default_rng(0)
-        probe = jnp.asarray(_r.standard_normal((16, n, d)).astype(_np.float32))
-        pmask = jnp.asarray(_np.arange(n)[None, :] < _r.integers(
-            1, n + 1, (16,))[:, None])
-        ok = True
-        for m in (None, pmask):
-            lf = fmodel.apply(params, probe, mask=m)
-            lx = model.apply(params, probe, mask=m)
-            ok &= bool(jnp.all(jnp.argmax(lf, -1) == jnp.argmax(lx, -1)))
+        ok, gate = _fused_parity_gate(cfg, model, fmodel, params,
+                                      waves, lengths)
+        gate["passed"] = ok
+        prov["fused_gate"] = gate
         if ok:
             model = fmodel
-            print("eval: fused masked attention (argmax parity gate passed)")
+            prov["engine"] = "fused"
+            print(f"eval: fused masked attention (argmax parity gate passed "
+                  f"on real data, {gate['agreement'][0]}/"
+                  f"{gate['agreement'][1]})")
         else:
-            print("eval: fused attention parity gate FAILED; using XLA path")
-    waves, lengths, labels = load_esc_split_waves(
-        args.esc_csv, args.esc_audio, cfg.numpy_seed, split="test")
+            print(f"eval: fused attention parity gate FAILED "
+                  f"({gate['agreement'][0]}/{gate['agreement'][1]} agree); "
+                  "using XLA path")
 
     arch = cfg.architecture
     tag = {ARCH_FST: "FST", ARCH_FB: "FB", ARCH_3ST: "3ST",
            ARCH_CNN: "CNNTemp"}[arch]
     os.makedirs(args.out_dir, exist_ok=True)
+
+    def _dump(obj, fname, t0):
+        dump_with_provenance(
+            obj, os.path.join(args.out_dir, fname),
+            dict(prov, wall_s=round(_time.perf_counter() - t0, 1)))
+        print(f"wrote {fname}")
+
     common = dict(fsog=cfg.sampling_rate, Nfft=cfg.window_size,
                   hf=cfg.hop_factor, tDb=cfg.trim_dB)
     if "expt1" in args.experiments:
+        t0 = _time.perf_counter()
         if arch == ARCH_FST:
             out = framewise_expt1(make_fst_frame_classifier(model, params),
                                   waves, lengths, labels, **common)
@@ -157,9 +225,9 @@ def cmd_eval(args):
             out = temporal_expt1(make_cnn_chunk_classifier(model, params),
                                  waves, lengths, labels, Ntemp=cfg.Ntemp,
                                  fixed_nfft=True, **common)
-        dump_reference_json(out, os.path.join(args.out_dir, f"{tag}_expt1.json"))
-        print(f"wrote {tag}_expt1.json")
+        _dump(out, f"{tag}_expt1.json", t0)
     if "expt2" in args.experiments:
+        t0 = _time.perf_counter()
         if arch in (ARCH_FST, ARCH_FB):
             rnd, mx = framewise_expt2(
                 make_fb_frame_classifier(model, params) if arch == ARCH_FB else None,
@@ -172,16 +240,15 @@ def cmd_eval(args):
                 make_cnn_chunk_classifier(model, params) if arch == ARCH_CNN else None,
                 waves, lengths, labels, Ntemp=cfg.Ntemp,
                 mode="cloud" if arch == ARCH_3ST else "replace", **common)
-        dump_reference_json(rnd, os.path.join(args.out_dir, f"{tag}_randK_expt2.json"))
-        dump_reference_json(mx, os.path.join(args.out_dir, f"{tag}_maxK_expt2.json"))
-        print(f"wrote {tag}_{{randK,maxK}}_expt2.json")
+        _dump(rnd, f"{tag}_randK_expt2.json", t0)
+        _dump(mx, f"{tag}_maxK_expt2.json", t0)
     if "rebut" in args.experiments and arch == ARCH_3ST:
+        t0 = _time.perf_counter()
         rnd, mx = rebut_importance_expt(
             make_cloud_classifier(model, params), waves, lengths, labels,
             Ntemp=cfg.Ntemp, **common)
-        dump_reference_json(rnd, os.path.join(args.out_dir, "3ST_rebut_expt_randK.json"))
-        dump_reference_json(mx, os.path.join(args.out_dir, "3ST_rebut_expt_maxK.json"))
-        print("wrote 3ST_rebut_expt_{randK,maxK}.json")
+        _dump(rnd, "3ST_rebut_expt_randK.json", t0)
+        _dump(mx, "3ST_rebut_expt_maxK.json", t0)
 
 
 def cmd_plots(args):

@@ -52,3 +52,21 @@ def dump_reference_json(result: Dict, path: str) -> None:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "w") as f:
         json.dump(result, f)
+
+
+def dump_with_provenance(result: Dict, path: str, provenance: Dict) -> str:
+    """Reference-schema artifact plus a ``*.provenance.json`` side-file.
+
+    Schema-ADDITIVE: ``path`` stays byte-compatible with the reference's
+    artifact (the reference has no provenance concept); the side-file
+    records how the artifact was produced — eval engine (fused/XLA), the
+    fused parity-gate outcome and agreement count, corpus and checkpoint
+    paths, wall time.  Returns the side-file path.
+    """
+    dump_reference_json(result, path)
+    assert path.endswith(".json")
+    side = path[: -len(".json")] + ".provenance.json"
+    with open(side, "w") as f:
+        json.dump(provenance, f, indent=1)
+        f.write("\n")
+    return side

@@ -238,3 +238,38 @@ def test_k_chunking_bit_identical(monkeypatch):
         None, make_cloud_classifier(model, params), waves, lengths, labels, **kw)
     assert rnd_a == rnd_b
     assert mx_a == mx_b
+
+
+def test_fused_parity_gate_on_real_featurized_data(tmp_path):
+    """The CLI's fused-attention gate must exercise REAL featurized sweep
+    data (masked + unmasked) and report agreement counts (VERDICT r4 #5)."""
+    from pcaudio.cli import _fused_parity_gate
+    from pcaudio.core.config import ARCH_3ST, ExperimentConfig
+
+    cfg = ExperimentConfig(architecture=ARCH_3ST, sampling_rate=FS,
+                           window_size=NFFT, Ntemp=4, dhidden=8, nheads=2,
+                           ninds=4, classes=2)
+    model = cfg.build_model()
+    fmodel = cfg.build_model(fused_attn=True)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 8, 3)))
+    waves, lengths, _ = _audio()
+    ok, info = _fused_parity_gate(cfg, model, fmodel, params,
+                                  np.asarray(waves), np.asarray(lengths))
+    assert info["agreement"][1] == 2 * info["rows"] > 0
+    assert info["agreement"][0] <= info["agreement"][1]
+    assert ok == (info["agreement"][0] == info["agreement"][1])
+
+
+def test_dump_with_provenance(tmp_path):
+    from pcaudio.utils.metrics import dump_with_provenance
+
+    p = str(tmp_path / "X_expt1.json")
+    side = dump_with_provenance(
+        {"data": {44100: [0.5]}}, p,
+        {"engine": "fused", "fused_gate": {"passed": True,
+                                           "agreement": [512, 512]}})
+    # the reference artifact is untouched by the side-channel
+    assert json.load(open(p)) == {"data": {"44100": [0.5]}}
+    assert side.endswith("X_expt1.provenance.json")
+    prov = json.load(open(side))
+    assert prov["fused_gate"]["agreement"] == [512, 512]
