@@ -62,6 +62,15 @@ def _time(fn, *args, iters):
 def main():
     import jax
 
+    # Persistent compilation cache (same knob as pcaudio.cli): the bench's
+    # programs are multi-minute remote compiles on the axon tunnel; a warm
+    # cache makes re-runs and A/B variants ~free.
+    cache = os.environ.get(
+        "PCAUDIO_COMPILE_CACHE", os.path.expanduser("~/.cache/pcaudio_xla"))
+    if cache and cache != "0":
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     mesh_n = int(os.environ.get("PCAUDIO_BENCH_MESH", "1"))
     if os.environ.get("PCAUDIO_BENCH_CPU", "0") == "1":
         # correctness runs on the N-virtual-device CPU mesh (tests/CI): must

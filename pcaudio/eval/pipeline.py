@@ -135,7 +135,14 @@ def extract_chunk_clouds(
             vals = bvals.astype(mags.dtype)
         elif cfg.extraction == "exact" and k <= F:
             # per-frame top-k (a frame contributes at most k of the global
-            # top-k) then combine — exact, cheaper than one 5120-wide sort
+            # top-k) then combine — exact, cheaper than one 5120-wide sort.
+            # NOTE the exact Pallas select kernel now supports any F
+            # (non-lane-multiple bins ride a padded layout), but this path
+            # selects on LOG-magnitude, which can be negative — remapping
+            # to the kernel's non-negative domain (x − min) is monotone but
+            # can collapse f32 near-ties and break bit-parity with
+            # ``lax.top_k``, so the XLA form stays here (measured off the
+            # critical path at framewise shapes — docs/PERFORMANCE.md r5).
             v1, i1 = jax.lax.top_k(chunks, k)              # [B, C, Nt, k]
             flat_i = i1 + jnp.arange(Nt)[None, None, :, None] * F
             vals, i2 = jax.lax.top_k(v1.reshape(B, C, Nt * k), k)
@@ -171,7 +178,7 @@ def _select_kernel_ok(k: int, F: int) -> bool:
 
     warnings.warn(
         f"exact select kernel unsupported at (K={k}, F={F}) "
-        "(needs K <= 256, F % 128 == 0); using XLA exact top-k instead")
+        "(needs K <= 256); using XLA exact top-k instead")
     return False
 
 

@@ -170,7 +170,7 @@ def _compact_gather(x3, w, rank, ov_ref, oi_ref, *, bc, L, K,
 
 
 def _kernel(x_ref, ov_ref, oi_ref, *, bc, L, K, mant_bits, val_channels,
-            compaction):
+            compaction, F_real=None, F_pad=None):
     # kernel-engineering probe: PCAUDIO_SELECT_PROFILE=searchonly|scatteronly
     # strips a stage (WRONG results, timing only) to attribute kernel time
     import os
@@ -264,8 +264,21 @@ def _kernel(x_ref, ov_ref, oi_ref, *, bc, L, K, mant_bits, val_channels,
         tau_b = jnp.full((bc, 1, 128), 0.5, jnp.float32)
 
     # ---- 2+3) winners + flat-order ranks ----
+    # Non-lane-multiple F support (framewise F=1025): the flat axis is the
+    # PADDED [Nt, F_pad] layout with 0.0 pad lanes.  The threshold search
+    # needs no masking — every probe candidate is ≥ 2^-126 > 0, so pads
+    # never pass ``x ≥ cand`` — and pads can't be gt-winners (x > τ fails
+    # at τ ≥ 0).  The ONLY leak is the degenerate τ=0 tie case (pads tie
+    # with real zeros), closed by ANDing the tie mask with the static
+    # lane-validity pattern: one compare over L on a single pass.  Real
+    # elements keep their relative flat order across the padded layout, so
+    # take-first-on-ties matches ``lax.top_k`` on the unpadded array.
     w_gt = x3 > tau_b
     tie = x3 == tau_b
+    if F_real is not None:
+        flat_io = (jax.lax.broadcasted_iota(jnp.int32, (bc, nb, 128), 1) * 128
+                   + jax.lax.broadcasted_iota(jnp.int32, (bc, nb, 128), 2))
+        tie = tie & ((flat_io % F_pad) < F_real)
     need = K - lane_total(jnp.sum(w_gt.astype(jnp.float32), axis=1))
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
@@ -411,11 +424,12 @@ def _kernel(x_ref, ov_ref, oi_ref, *, bc, L, K, mant_bits, val_channels,
 
 def exact_topk_supported(K: int, F: int) -> bool:
     """The kernel's applicability envelope, for callers deciding between
-    this and the XLA two-stage top-k: K ≤ 256 (bf16 scatter-rank budget)
-    and F a 128-lane multiple (flat lane blocks).  Values must also be
-    non-negative (true for squared magnitudes by construction) — that part
-    can't be checked statically."""
-    return K <= 256 and F % 128 == 0
+    this and the XLA two-stage top-k: K ≤ 256 (bf16 scatter-rank budget).
+    Any F ≥ 1 works — non-lane-multiple F (framewise 1025) rides a
+    zero-padded lane layout with a tie-mask fix (see ``_kernel``).  Values
+    must also be non-negative (true for squared magnitudes by
+    construction) — that part can't be checked statically."""
+    return K <= 256 and F >= 1
 
 
 def exact_topk_chunks(
@@ -447,16 +461,23 @@ def exact_topk_chunks(
     if compaction is None:
         compaction = os.environ.get("PCAUDIO_SELECT_COMPACT", "auto")
     N, Nt, F = mags.shape
-    L = Nt * F
+    assert K <= Nt * F
+    # non-lane-multiple F: zero-pad each frame row to the next 128 multiple;
+    # the kernel masks pad lanes out of the tie cut (the threshold search
+    # is pad-immune — probes are ≥ 2^-126 > 0.0) and the flat indices are
+    # unmapped below.  Pads must sort BELOW every real value, which holds
+    # because the values are non-negative.
+    F_pad = F + (-F) % 128
+    if F_pad != F:
+        mags = jnp.pad(mags, ((0, 0), (0, 0), (0, F_pad - F)))
+    L = Nt * F_pad
     # mantissa probe rounds follow the INPUT dtype's precision (exactness
     # is relative to the values actually handed in): bf16 7, f16 10, f32 23
     mant_bits = {jnp.bfloat16.dtype: 7, jnp.float16.dtype: 10}.get(
         jnp.dtype(mags.dtype), 23)
     if compaction == "auto":
         compaction = "scatter" if mant_bits <= 10 else "gather"
-    assert K <= L
     assert K <= 256, "bf16 scatter ranks require K <= 256"
-    assert F % 128 == 0, "flat lane blocks need F to be a lane multiple"
     nb = L // 128
     mags = mags.reshape(N, nb, 128)
     pad = (-N) % block_c
@@ -470,7 +491,8 @@ def exact_topk_chunks(
     kern = functools.partial(_kernel, bc=block_c, L=L, K=K,
                              mant_bits=mant_bits,
                              val_channels=1 if mant_bits <= 10 else 3,
-                             compaction=compaction)
+                             compaction=compaction,
+                             F_real=F if F_pad != F else None, F_pad=F_pad)
     vals, idx = pl.pallas_call(
         kern,
         grid=(Np // block_c,),
@@ -492,4 +514,8 @@ def exact_topk_chunks(
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
     )(mags)
+    if F_pad != F:
+        # padded flat index → original [Nt, F] row-major flat index
+        # (winners are never pad lanes, so idx % F_pad < F always)
+        idx = (idx // F_pad) * F + (idx % F_pad)
     return vals[:N], idx[:N]

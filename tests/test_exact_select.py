@@ -102,3 +102,42 @@ def test_exact_topk_zero_chunks_finite():
     assert np.isfinite(np.asarray(vals)).all()
     # all-zero: ties at 0.0 → first 128 flat indices
     np.testing.assert_array_equal(np.asarray(idx)[0], np.arange(128))
+
+
+@pytest.mark.parametrize("compaction", ["gather", "scatter"])
+@pytest.mark.parametrize("shape,K", [
+    ((3, 1, 1025), 128),   # framewise FST frame (Nfft=2048 -> 1025 bins)
+    ((3, 10, 513), 128),   # temporal XLA grid with Nyquist kept
+    ((2, 4, 130), 64),     # tiny non-multiple
+])
+def test_exact_topk_nonmultiple_F(shape, K, compaction):
+    """Non-lane-multiple F rides a zero-padded layout; the selected SET and
+    the returned [Nt, F] flat indices must still match lax.top_k exactly."""
+    rng = np.random.default_rng(11)
+    mags = jnp.asarray(np.abs(rng.standard_normal(shape)).astype(np.float32))
+    vals, idx = exact_topk_chunks(mags, K, compaction=compaction)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    flat = np.asarray(mags).reshape(shape[0], -1)
+    refs = _ref_sets(mags, K)
+    for i in range(shape[0]):
+        got = set(idx[i].tolist())
+        assert len(got) == K and got == refs[i]
+        np.testing.assert_array_equal(vals[i], flat[i][idx[i]])
+        assert (np.diff(idx[i]) > 0).all()
+
+
+def test_exact_topk_nonmultiple_F_zero_ties_exclude_pads():
+    """The degenerate τ=0 tie cut with F % 128 != 0: pad lanes are 0.0 and
+    tie with real zeros — they must NEVER be selected, and the tie order
+    must be the UNPADDED flat order (lax.top_k semantics)."""
+    N, Nt, F, K = 2, 3, 200, 64
+    mags = np.zeros((N, Nt, F), np.float32)
+    mags[1, 1, 5] = 1.0  # one real winner; the rest of the cut is zeros
+    vals, idx = exact_topk_chunks(jnp.asarray(mags), K)
+    idx = np.asarray(idx)
+    refs = _ref_sets(jnp.asarray(mags), K)
+    for i in range(N):
+        assert set(idx[i].tolist()) == refs[i]
+        assert (idx[i] < Nt * F).all()
+    # all-zero chunk: first K unpadded flat indices
+    np.testing.assert_array_equal(idx[0], np.arange(K))
