@@ -103,15 +103,17 @@ def main():
 
     featurize = os.environ.get("PCAUDIO_BENCH_FEATURIZE", "fused")
 
-    st_bb = os.environ.get("PCAUDIO_BENCH_ST_BLOCK_B")  # A/B knob
+    # A/B knob; unset → the TemporalPipelineConfig default (32, the measured
+    # serving winner — 91.0 vs 98.0 ms e2e at B=1024, round-5 A/B)
+    st_bb = os.environ.get("PCAUDIO_BENCH_ST_BLOCK_B")
+    bb_kw = {"st_block_b": int(st_bb)} if st_bb else {}
 
     def make_cfg(extr):
         return TemporalPipelineConfig(fs=fs, n_fft=1024, num_frames=10,
                                       top_k=top_k, extraction=extr,
                                       stft_precision=stft_precision,
                                       compute_dtype=compute_dtype,
-                                      featurize=featurize,
-                                      st_block_b=int(st_bb) if st_bb else None)
+                                      featurize=featurize, **bb_kw)
 
     cfg = make_cfg(extraction)
     model = ST(dim_input=3, num_outputs=1, dim_output=10,
@@ -209,9 +211,13 @@ def main():
             # mask=None matches the actual serving call (pipeline._chunk_logits
             # drops invalid chunks via the chunk-mask weighting instead); the
             # masked kernel is ~4x slower and timing it here overstated
-            # st_forward by ~45 ms in BENCH_r03
+            # st_forward by ~45 ms in BENCH_r03.  block_b must also match the
+            # serving config — the default-block kernel made the r4 stage rows
+            # sum over e2e once st_block_b diverged from the kernel default
+            st_kw = ({} if cfg.st_block_b is None
+                     else {"block_b": cfg.st_block_b})
             jst = jax.jit(lambda p, x, m: fused_st_forward(
-                p, x, None, num_heads=model.num_heads))
+                p, x, None, num_heads=model.num_heads, **st_kw))
         else:
             jst = jax.jit(lambda p, x, m: model.apply(p, x, mask=m))
         st_ms = _time(jst, params, pts, msk, iters=iters) * 1e3

@@ -68,10 +68,11 @@ class TemporalPipelineConfig:
     # ascending flat-index order; every consumer is permutation-invariant.
     exact_kernel: Optional[bool] = None
     # fused-ST sample block per grid step (None → the kernel default, 16).
-    # block_b=32 measured ~10% faster on the bare ST stage at the serving
-    # shape (scripts/probe_v7_serving.py); config-keyed so it participates
-    # in the trace cache.
-    st_block_b: Optional[int] = None
+    # Default 32: measured −7 ms on the mask-free ST stage at the serving
+    # shape (61.2 → 54.2 ms at 44k chunks, scripts/probe_e2e_composition.py)
+    # and −7 ms e2e (98.0 → 91.0, bench A/B round 5); config-keyed so it
+    # participates in the trace cache.
+    st_block_b: Optional[int] = 32
 
     def _use_exact_kernel(self) -> bool:
         if self.exact_kernel is not None:
