@@ -42,14 +42,16 @@ lengths = jax.device_put(jnp.full((B,), 220500, jnp.int32))
 
 
 def timeit(name, fn, *args, iters=10):
+    # axon gotcha: block_until_ready returns before device work completes;
+    # force a scalar readback to flush the queue (see .claude/skills/verify)
     out = fn(*args)
-    jax.tree.map(lambda x: x.block_until_ready(), out)
+    float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
-        jax.tree.map(lambda x: x.block_until_ready(), out)
+        float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
         best = min(best, (time.perf_counter() - t0) / iters)
     print(f"{name}: {best * 1e3:.1f} ms", flush=True)
     return out
