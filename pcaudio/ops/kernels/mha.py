@@ -74,14 +74,21 @@ def _probs(q, k, bias, h, scale):
                          1.0 / jnp.where(denom == 0.0, 1.0, denom))
 
 
-def _seg_softmax(lg, h: int, M: int):
+def _seg_softmax(lg, h: int, M: int, bias=None):
     """Exact per-segment softmax over ``[rows, h·M]`` logits where segment
     g occupies lanes ``[g·M, (g+1)·M)`` (the bd_kv layout).  Max-subtract and
     normalization are done per segment (static lane slices) — identical
-    semantics to the bd_q row softmax, all-masked segments → zeros."""
+    semantics to the bd_q row softmax, all-masked segments → zeros.
+
+    ``bias`` ([1, M] additive mask bias) is applied per segment here rather
+    than pre-tiled across the h·M logit lanes: Mosaic cannot lower a 1D
+    h-fold tile of a 64-lane vector (``tpu.concatenate`` offsets outside
+    the first tile), and every segment sees the identical key mask anyway."""
     parts = []
     for g_i in range(h):
         seg = lg[:, g_i * M:(g_i + 1) * M]
+        if bias is not None:
+            seg = seg + bias
         mx = jnp.max(seg, axis=-1, keepdims=True)
         p = jnp.exp(seg - mx)
         p = jnp.where(seg <= _MASK_VALUE * 0.5, 0.0, p)
@@ -109,13 +116,12 @@ def _fwd_kernel_kv(q_ref, k_ref, v_ref, mask_ref, o_ref, *, num_heads, scale,
     for s in range(block_b):
         kbd = _bd(k_ref[s].astype(jnp.float32), h)           # [h·M, dv] bf16
         vbd = _bd(v_ref[s].astype(jnp.float32), h)
-        bias = jnp.where(mask_ref[s] > 0, 0.0, _MASK_VALUE)  # [M]
-        bias_t = jnp.tile(bias, (h,))[None, :]               # [1, h·M]
+        bias = jnp.where(mask_ref[s] > 0, 0.0, _MASK_VALUE)[None, :]  # [1, M]
         lg = jax.lax.dot_general(
             q_ref[s].astype(jnp.bfloat16), kbd,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale + bias_t
-        a = _seg_softmax(lg, h, M)
+            preferred_element_type=jnp.float32) * scale
+        a = _seg_softmax(lg, h, M, bias)
         o_ref[s] = jax.lax.dot_general(
             a.astype(jnp.bfloat16), vbd,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -148,13 +154,12 @@ def _bwd_kernel_kv(q_ref, k_ref, v_ref, mask_ref, g_ref,
         g = g_ref[s].astype(jnp.float32)
         kbd = _bd(k_ref[s].astype(jnp.float32), h)           # [h·M, dv] bf16
         vbd = _bd(v_ref[s].astype(jnp.float32), h)
-        bias = jnp.where(mask_ref[s] > 0, 0.0, _MASK_VALUE)
-        bias_t = jnp.tile(bias, (h,))[None, :]
+        bias = jnp.where(mask_ref[s] > 0, 0.0, _MASK_VALUE)[None, :]
         lg = jax.lax.dot_general(
             q.astype(jnp.bfloat16), kbd,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale + bias_t
-        a = _seg_softmax(lg, h, M)                           # [tn, h·M]
+            preferred_element_type=jnp.float32) * scale
+        a = _seg_softmax(lg, h, M, bias)                     # [tn, h·M]
         gb = g.astype(jnp.bfloat16)
         da = jax.lax.dot_general(
             gb, vbd, dimension_numbers=(((1,), (1,)), ((), ())),
