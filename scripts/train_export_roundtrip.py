@@ -26,7 +26,11 @@ import subprocess
 import sys
 import time
 
-CORPUS = "/tmp/pcaudio_cycle/corpus"
+CORPUS = "/tmp/pcaudio_roundtrip/corpus"  # v2 spread-spectrum signature:
+# the v1 cycle corpus is class-separable on the bin grid but near-degenerate
+# in cloud coordinates (see pcaudio/data/synthetic.py::synth_clip) — the
+# reference ST recipe sits at chance on it for 50k+ steps, so a converged
+# round-trip needs the v2 signature.
 OUT = "/tmp/pcaudio_roundtrip"
 
 
